@@ -1,0 +1,179 @@
+"""Typed configuration system.
+
+Replaces the reference's four argparse modules
+(``/root/reference/parses/parses_partI.py`` etc.) with frozen
+dataclasses + a name registry. All reference hyperparameters are
+preserved (sources cited inline); TPU-specific knobs (padding buckets,
+mesh shape) are new.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict
+
+
+@dataclasses.dataclass
+class DirsConfig:
+    base_dir: str = "."
+    origin_data_dir: str = "./data/origin_data"
+    output_cache_dir: str = "./data/YOHO_TPU"
+    model_dir: str = "./model"
+
+
+@dataclasses.dataclass
+class BackboneConfig:
+    """FCGF sparse ResUNet (reference ``fcgf_model/resunet.py:206-209``)."""
+
+    model: str = "ResUNetBN2C"
+    in_channels: int = 1
+    out_channels: int = 32
+    channels: tuple = (32, 64, 128, 256)
+    tr_channels: tuple = (64, 64, 64, 128)
+    conv1_kernel_size: int = 7  # FCGF 3DMatch default
+    normalize_feature: bool = True
+    bn_momentum: float = 0.05  # reference YOHO_testset.py:126
+    voxel_size: float = 0.025  # 3DMatch (README.md:150); ETH 0.15, WHU-TLS 0.8
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass
+class PadConfig:
+    """Static-shape padding buckets for the sparse engine (TPU-specific)."""
+
+    max_points: int = 65536  # raw points per cloud fed to quantization
+    max_voxels: int = 32768  # unique voxels at stride 1
+    num_keypoints: int = 5000  # reference README.md:95
+    max_matches: int = 5000  # mutual-NN output cap (<= num_keypoints)
+
+
+@dataclasses.dataclass
+class PartIConfig:
+    """PartI equivariant descriptor net (reference ``utils/network.py:67-105``)."""
+
+    in_dim: int = 32
+    hidden_dim: int = 256
+    middle_dim: int = 512
+    out_dim: int = 32
+    num_residual_blocks: int = 1
+    test_batch_size: int = 900  # parses_partI.py:93
+
+
+@dataclasses.dataclass
+class PartIIConfig:
+    """PartII residual-rotation regressor (reference ``utils/network.py:218-278``)."""
+
+    in_dim: int = 128  # 4 x 32 concatenated group features
+    hidden_dim: int = 256
+    middle_dim: int = 512
+    fc_dims: tuple = (256, 512, 128, 4)
+    num_residual_blocks: int = 1
+    test_batch_size: int = 1000  # parses_partII.py:96
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Reference ``parses/parses_partI.py:50-73`` (PartII diffs noted)."""
+
+    epochs: int = 5
+    batch_size: int = 32
+    lr_init: float = 1e-4  # PartII: 1e-3
+    lr_decay_rate: float = 0.5
+    lr_decay_step: float = 1.6  # epochs; PartII: 1.5
+    train_log_step: int = 3000
+    val_interval: int = 6000
+    save_interval: int = 3000
+    loss_margin: float = 0.3  # batch-hard margin, loss_val.py:48
+    inv_loss_weight: float = 5.0  # loss_val.py:53
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class RansacConfig:
+    """Reference ``Test.py:13-16``, ``parses_partI.py:95-102``."""
+
+    max_iter: int = 1000
+    inlier_dist_c: float = 0.07  # YOHO-C (3DMatch)
+    inlier_dist_o: float = 0.09  # YOHO-O (3DMatch)
+    fmr_ratio: float = 0.05  # tau_1
+    ok_match_dist_threshold: float = 0.1  # tau_2
+    rr_dist_threshold: float = 0.2  # tau_3
+
+
+@dataclasses.dataclass
+class MeshConfig:
+    """Device-mesh layout for scale-out (no reference analog)."""
+
+    data_axis: str = "data"
+    group_axis: str = "group"
+    data_parallel: int = 1
+    group_parallel: int = 1
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    dirs: DirsConfig = dataclasses.field(default_factory=DirsConfig)
+    backbone: BackboneConfig = dataclasses.field(default_factory=BackboneConfig)
+    pad: PadConfig = dataclasses.field(default_factory=PadConfig)
+    part1: PartIConfig = dataclasses.field(default_factory=PartIConfig)
+    part2: PartIIConfig = dataclasses.field(default_factory=PartIIConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    ransac: RansacConfig = dataclasses.field(default_factory=RansacConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    dataset: str = "3dmatch"
+
+    def for_dataset(self, name: str) -> "PipelineConfig":
+        """Apply per-dataset knob overrides (reference README.md:163-190)."""
+        cfg = dataclasses.replace(self, dataset=name)
+        if name.startswith("ETH"):
+            cfg.backbone = dataclasses.replace(self.backbone, voxel_size=0.15)
+            cfg.ransac = dataclasses.replace(
+                self.ransac,
+                inlier_dist_c=0.2,
+                inlier_dist_o=0.2,
+                ok_match_dist_threshold=0.2,
+                rr_dist_threshold=0.5,
+            )
+        elif name.startswith("WHU"):
+            cfg.backbone = dataclasses.replace(self.backbone, voxel_size=0.8)
+            cfg.ransac = dataclasses.replace(
+                self.ransac,
+                inlier_dist_c=1.0,
+                inlier_dist_o=1.0,
+                ok_match_dist_threshold=0.5,
+                rr_dist_threshold=1.0,
+            )
+        return cfg
+
+
+# --------------------------------------------------------------------------
+# Registry (replaces the reference's name2network/name2extractor/... dicts)
+# --------------------------------------------------------------------------
+
+_REGISTRIES: Dict[str, Dict[str, Any]] = {}
+
+
+def register(kind: str, name: str) -> Callable:
+    """Decorator: ``@register('estimator', 'yoho_c')``."""
+
+    def deco(obj):
+        _REGISTRIES.setdefault(kind, {})[name] = obj
+        return obj
+
+    return deco
+
+
+def lookup(kind: str, name: str):
+    try:
+        return _REGISTRIES[kind][name]
+    except KeyError:
+        known = sorted(_REGISTRIES.get(kind, {}))
+        raise KeyError(f"no {kind!r} named {name!r}; known: {known}") from None
+
+
+def registry(kind: str) -> Dict[str, Any]:
+    return dict(_REGISTRIES.get(kind, {}))
+
+
+def default_config() -> PipelineConfig:
+    return PipelineConfig()

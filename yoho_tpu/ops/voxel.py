@@ -1,0 +1,182 @@
+"""Sort-based sparse voxel engine: quantization, keys, unique.
+
+TPU-first replacement for MinkowskiEngine's hash-map coordinate
+infrastructure (reference ``src/coordinate_map_cpu.hpp:285-712``,
+``src/quantization.cpp:57-140``, ``MinkowskiEngine/utils/quantization.py:125``).
+GPUs want concurrent hash tables; TPUs want sorted, padded,
+statically-shaped computation, so:
+
+* integer voxel coordinates are packed into a lexicographic (hi, lo)
+  int32 key pair (JAX default int64-free),
+* uniqueness is one ``lax.sort`` + neighbor-difference flags + cumsum,
+* lookups (kernel maps) are vectorized binary searches into the sorted
+  key arrays (see ``kernel_map.py``).
+
+All functions are shape-static: clouds are padded to ``n_max`` with an
+all-ones sentinel key that sorts last; valid entries are tracked by
+counts, not boolean ragged shapes.
+
+Layout conventions:
+* coords: int32 (N, 4) = (batch, x, y, z), already divided by voxel size.
+* Coordinate range must fit 16 bits signed per axis after offsetting by
+  +2^15; batch index must fit 15 bits. This covers > 800 m scenes at
+  0.025 m voxels — far beyond the reference's datasets.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_OFF_X = 1 << 15  # x offset: 16-bit field in the hi key
+_OFF_YZ = 1 << 14  # y/z offset: 15-bit fields so lo stays positive int32
+
+# Sentinel key (sorts after any valid key): hi = INT32_MAX, lo = INT32_MAX.
+SENTINEL = jnp.int32(2**31 - 1)
+
+
+class SparseGrid(NamedTuple):
+    """A batched, sorted, padded sparse voxel tensor.
+
+    Attributes:
+      coords: int32 (N, 4) (batch, x, y, z); rows >= count are padding.
+      key_hi/key_lo: int32 (N,) lexicographic sort keys; padding rows
+        hold SENTINEL so they sort last and never match a search.
+      count: int32 scalar, number of valid rows.
+      stride: int, tensor stride (1 at full resolution, doubles per
+        downsampling level — same bookkeeping as MinkowskiEngine's
+        tensor_stride).
+    """
+
+    coords: jnp.ndarray
+    key_hi: jnp.ndarray
+    key_lo: jnp.ndarray
+    count: jnp.ndarray
+    stride: int
+
+
+def pack_keys(coords: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(N, 4) int32 (b,x,y,z) -> lexicographic (hi, lo) int32 keys.
+
+    hi = (b << 16) | (x + 2^15), lo = ((y + 2^14) << 15) | (z + 2^14).
+    Field widths keep both keys strictly below 2^31 so plain signed
+    int32 comparison is a lexicographic order on (b, x, y, z).
+    Supported ranges: batch < 2^15, |x| < 2^15, |y|,|z| < 2^14 —
+    at 0.025 m voxels that is an 800 m x 400 m x 400 m scene, far
+    beyond the reference's datasets (3DMatch rooms, ETH/WHU-TLS at
+    coarser voxels).
+    """
+    b = coords[:, 0]
+    x = coords[:, 1] + _OFF_X
+    y = coords[:, 2] + _OFF_YZ
+    z = coords[:, 3] + _OFF_YZ
+    hi = (b << 16) | x
+    lo = (y << 15) | z
+    return hi.astype(jnp.int32), lo.astype(jnp.int32)
+
+
+def quantize(
+    points: jnp.ndarray,
+    voxel_size: float,
+    num_valid: jnp.ndarray,
+    batch_index: int | jnp.ndarray = 0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Float points -> int voxel coords (no dedup).
+
+    points: (N, 3) float; rows >= num_valid are ignored.
+    Returns (coords (N, 4) int32, valid mask (N,) bool).
+    Matches ``ME.utils.sparse_quantize``'s floor(p / voxel_size)
+    convention (reference ``YOHO_testset.py:40,48``).
+    """
+    n = points.shape[0]
+    idx = jnp.arange(n)
+    valid = idx < num_valid
+    xyz = jnp.floor(points / voxel_size).astype(jnp.int32)
+    b = jnp.full((n, 1), batch_index, dtype=jnp.int32)
+    coords = jnp.concatenate([b, xyz], axis=1)
+    return coords, valid
+
+
+def unique_voxels(
+    coords: jnp.ndarray,
+    valid: jnp.ndarray,
+    stride: int = 1,
+) -> tuple[SparseGrid, jnp.ndarray]:
+    """Deduplicate voxel coordinates -> sorted SparseGrid.
+
+    Returns (grid, first_index) where first_index[i] (int32 (N,)) is the
+    index into the *input* rows of the representative (first occurrence
+    in sorted order) of unique voxel i. Rows >= grid.count are padding.
+
+    This is the TPU analog of ``sparse_quantize(..., return_index=True)``
+    (reference ``MinkowskiEngine/utils/quantization.py:125``): one sort,
+    one neighbor-compare, one cumsum — no hash table, deterministic.
+    """
+    n = coords.shape[0]
+    hi, lo = pack_keys(coords)
+    hi = jnp.where(valid, hi, SENTINEL)
+    lo = jnp.where(valid, lo, SENTINEL)
+    src_idx = jnp.arange(n, dtype=jnp.int32)
+    hi_s, lo_s, src_s = jax.lax.sort((hi, lo, src_idx), num_keys=2, dimension=0)
+    coords_s = coords[src_s]
+    is_valid_s = hi_s != SENTINEL
+    new_flag = jnp.concatenate(
+        [
+            jnp.ones((1,), dtype=jnp.bool_),
+            (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1]),
+        ]
+    ) & is_valid_s
+    # Position each first-occurrence row at its unique rank; scatter.
+    rank = jnp.cumsum(new_flag) - 1  # (n,) int; garbage where ~new_flag
+    dest = jnp.where(new_flag, rank, n)  # out-of-range drop for dups/pad
+    ucount = jnp.sum(new_flag).astype(jnp.int32)
+
+    out_coords = jnp.zeros((n, 4), dtype=jnp.int32).at[dest].set(coords_s, mode="drop")
+    out_hi = jnp.full((n,), SENTINEL).at[dest].set(hi_s, mode="drop")
+    out_lo = jnp.full((n,), SENTINEL).at[dest].set(lo_s, mode="drop")
+    first_index = jnp.zeros((n,), dtype=jnp.int32).at[dest].set(src_s, mode="drop")
+
+    grid = SparseGrid(
+        coords=out_coords, key_hi=out_hi, key_lo=out_lo, count=ucount, stride=stride
+    )
+    return grid, first_index
+
+
+def build_grid(
+    points: jnp.ndarray,
+    voxel_size: float,
+    num_valid: jnp.ndarray,
+    batch_index: int | jnp.ndarray = 0,
+) -> tuple[SparseGrid, jnp.ndarray]:
+    """quantize + unique in one call. Returns (grid, first_index)."""
+    coords, valid = quantize(points, voxel_size, num_valid, batch_index)
+    return unique_voxels(coords, valid)
+
+
+def stride_grid(grid: SparseGrid, factor: int = 2) -> tuple[SparseGrid, jnp.ndarray]:
+    """Downsample a grid by ``factor`` (MinkowskiEngine ``stride`` map,
+    reference ``coordinate_map_cpu.hpp:421-441``).
+
+    Output coords are floor(c / new_stride) * new_stride — multiples of
+    the new tensor stride, deduplicated. Returns (coarse_grid,
+    parent_rank) where parent_rank[i] = row in coarse grid that input
+    row i maps to (int32 (N,), garbage for padding rows).
+    """
+    new_stride = grid.stride * factor
+    n = grid.coords.shape[0]
+    valid = jnp.arange(n) < grid.count
+    b = grid.coords[:, :1]
+    xyz = grid.coords[:, 1:]
+    coarse_xyz = jnp.floor_divide(xyz, new_stride) * new_stride
+    coarse = jnp.concatenate([b, coarse_xyz], axis=1)
+    coarse_grid, _ = unique_voxels(coarse, valid, stride=new_stride)
+    # Map each fine voxel to its coarse rank by binary search.
+    from yoho_tpu.ops.kernel_map import search_keys
+
+    q_hi, q_lo = pack_keys(coarse)
+    q_hi = jnp.where(valid, q_hi, SENTINEL)
+    q_lo = jnp.where(valid, q_lo, SENTINEL)
+    parent_rank, found = search_keys(coarse_grid, q_hi, q_lo)
+    return coarse_grid, parent_rank
