@@ -1,0 +1,162 @@
+"""FCGF sparse ResUNet backbone (flax), on the sorted voxel engine.
+
+Re-implements the reference's ``ResUNetBN2C`` topology
+(``/root/reference/fcgf_model/resunet.py:10-209``: 4 encoder levels
+32/64/128/256 with stride-2 downsampling, post-norm residual blocks
+(``fcgf_model/residual_block.py:9-53``), 3 transpose-conv decoder levels
+with skip concatenation, 1x1 head, optional L2 feature normalization)
+— but as a pure function of (features, UNetPlan) with masked batch
+norm, so the whole network is one statically-shaped jitted program.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from yoho_tpu.config import BackboneConfig, register
+from yoho_tpu.models.plan import UNetPlan
+from yoho_tpu.ops.kernel_map import KernelMap
+from yoho_tpu.ops.sparse_conv import batch_norm_apply, masked_mean_var, sparse_conv
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over valid sparse rows only, with running stats.
+
+    torch momentum m (reference bn_momentum=0.05, YOHO_testset.py:126)
+    maps to ``new = (1-m)*old + m*batch``.
+    """
+
+    features: int
+    momentum: float = 0.05
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, feats, mask, train: bool):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        offset = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(self.features, jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(self.features, jnp.float32)
+        )
+        if train:
+            mean, var = masked_mean_var(feats, mask)
+            if not self.is_initializing():
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        return batch_norm_apply(feats, mean, var, scale, offset, self.eps)
+
+
+class SparseConv(nn.Module):
+    """One sparse conv layer; kernel map supplied per call."""
+
+    in_features: int
+    out_features: int
+    kernel_volume: int  # K = kernel_size**3
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, feats, kmap: KernelMap):
+        # Kaiming-style fan-in init over the full K*Cin receptive field,
+        # matching ME's kernel init scale (MinkowskiConvolution.py reset).
+        fan_in = self.kernel_volume * self.in_features
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_in", "truncated_normal"),
+            (self.kernel_volume * self.in_features, self.out_features),
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.out_features,))
+            if self.use_bias
+            else None
+        )
+        w3 = w.reshape(self.kernel_volume, self.in_features, self.out_features)
+        return sparse_conv(feats, kmap, w3, b)
+
+
+class ResidualBlock(nn.Module):
+    """conv3->BN->relu->conv3->BN (+x) ->relu, post-norm
+    (reference ``residual_block.py:37-53``); in==out channels here
+    (FCGF never uses a downsample branch in its blocks)."""
+
+    features: int
+    bn_momentum: float
+
+    @nn.compact
+    def __call__(self, feats, kmap, mask, train: bool):
+        out = SparseConv(self.features, self.features, 27)(feats, kmap)
+        out = MaskedBatchNorm(self.features, self.bn_momentum)(out, mask, train)
+        out = nn.relu(out)
+        out = SparseConv(self.features, self.features, 27)(out, kmap)
+        out = MaskedBatchNorm(self.features, self.bn_momentum)(out, mask, train)
+        return nn.relu(out + feats)
+
+
+@register("backbone", "ResUNetBN2C")
+class SparseResUNet(nn.Module):
+    """ResUNetBN2C by default; channels configurable to cover the
+    reference's B/D/E variants (``fcgf_model/resunet.py:196-221``)."""
+
+    cfg: BackboneConfig
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, plan: UNetPlan, train: bool = False):
+        c = self.cfg
+        ch = c.channels  # (32, 64, 128, 256)
+        tr = c.tr_channels  # (64, 64, 64, 128)
+        bm = c.bn_momentum
+        K1 = c.conv1_kernel_size**3
+
+        # ---- encoder ----
+        out_s1 = SparseConv(c.in_channels, ch[0], K1)(feats, plan.conv1)
+        out_s1 = MaskedBatchNorm(ch[0], bm)(out_s1, plan.mask1, train)
+        out_s1 = ResidualBlock(ch[0], bm)(out_s1, plan.b1, plan.mask1, train)
+        out = nn.relu(out_s1)
+
+        out_s2 = SparseConv(ch[0], ch[1], 27)(out, plan.down2)
+        out_s2 = MaskedBatchNorm(ch[1], bm)(out_s2, plan.mask2, train)
+        out_s2 = ResidualBlock(ch[1], bm)(out_s2, plan.b2, plan.mask2, train)
+        out = nn.relu(out_s2)
+
+        out_s4 = SparseConv(ch[1], ch[2], 27)(out, plan.down3)
+        out_s4 = MaskedBatchNorm(ch[2], bm)(out_s4, plan.mask4, train)
+        out_s4 = ResidualBlock(ch[2], bm)(out_s4, plan.b4_g4, plan.mask4, train)
+        out = nn.relu(out_s4)
+
+        out_s8 = SparseConv(ch[2], ch[3], 27)(out, plan.down4)
+        out_s8 = MaskedBatchNorm(ch[3], bm)(out_s8, plan.mask8, train)
+        out_s8 = ResidualBlock(ch[3], bm)(out_s8, plan.b4_g8, plan.mask8, train)
+        out = nn.relu(out_s8)
+
+        # ---- decoder ----
+        out = SparseConv(ch[3], tr[3], 27)(out, plan.up4)
+        out = MaskedBatchNorm(tr[3], bm)(out, plan.mask4, train)
+        out = ResidualBlock(tr[3], bm)(out, plan.b4_g4, plan.mask4, train)
+        out = nn.relu(out)
+
+        out = jnp.concatenate([out, out_s4], axis=1)
+        out = SparseConv(ch[2] + tr[3], tr[2], 27)(out, plan.up3)
+        out = MaskedBatchNorm(tr[2], bm)(out, plan.mask2, train)
+        out = ResidualBlock(tr[2], bm)(out, plan.b2, plan.mask2, train)
+        out = nn.relu(out)
+
+        out = jnp.concatenate([out, out_s2], axis=1)
+        out = SparseConv(ch[1] + tr[2], tr[1], 27)(out, plan.up2)
+        out = MaskedBatchNorm(tr[1], bm)(out, plan.mask1, train)
+        out = ResidualBlock(tr[1], bm)(out, plan.b1, plan.mask1, train)
+        out = nn.relu(out)
+
+        out = jnp.concatenate([out, out_s1], axis=1)
+        # conv1_tr: 1x1 conv = plain dense matmul (kernel volume 1)
+        out = nn.Dense(tr[0], use_bias=False, name="conv1_tr")(out)
+        out = nn.relu(out)
+        out = nn.Dense(c.out_channels, use_bias=True, name="final")(out)
+
+        if c.normalize_feature:
+            out = out / jnp.linalg.norm(out, axis=1, keepdims=True).clip(1e-12)
+        # zero out padding rows so downstream gathers read clean data
+        return out * plan.mask1[:, None]

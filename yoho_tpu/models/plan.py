@@ -1,0 +1,80 @@
+"""Coordinate plans: the TPU analog of MinkowskiEngine's CoordinateManager.
+
+The reference builds coordinate maps lazily inside each conv layer and
+memoizes them in a C++ manager (``coordinate_map_manager.cpp:634-690``).
+Here the whole stride pyramid and every kernel map a network needs are
+built *once per cloud* as a statically-shaped pytree ("plan"), jitted,
+and then threaded through the pure network apply function. This
+separates the irregular (sort/search) phase from the dense (MXU) phase —
+the key structural difference from the hash-and-scatter GPU design.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from yoho_tpu.ops.kernel_map import KernelMap, build_kernel_map
+from yoho_tpu.ops.voxel import SparseGrid, stride_grid
+
+
+class UNetPlan(NamedTuple):
+    """Everything the 4-level FCGF ResUNet needs for one (batched) cloud.
+
+    Grids at tensor strides 1, 2, 4, 8; per-level validity masks; kernel
+    maps for every conv (reused across the two convs of each residual
+    block — same memoization ME performs).
+    """
+
+    g1: SparseGrid
+    g2: SparseGrid
+    g4: SparseGrid
+    g8: SparseGrid
+    mask1: jnp.ndarray
+    mask2: jnp.ndarray
+    mask4: jnp.ndarray
+    mask8: jnp.ndarray
+    conv1: KernelMap  # g1 -> g1, kernel conv1_kernel_size
+    b1: KernelMap  # g1 -> g1, kernel 3
+    down2: KernelMap  # g1 -> g2
+    b2: KernelMap  # g2 -> g2
+    down3: KernelMap  # g2 -> g4
+    b4_g4: KernelMap  # g4 -> g4
+    down4: KernelMap  # g4 -> g8
+    b4_g8: KernelMap  # g8 -> g8
+    up4: KernelMap  # g8 -> g4 (transposed)
+    up3: KernelMap  # g4 -> g2 (transposed)
+    up2: KernelMap  # g2 -> g1 (transposed)
+
+
+def _mask(grid: SparseGrid) -> jnp.ndarray:
+    return jnp.arange(grid.coords.shape[0]) < grid.count
+
+
+def build_unet_plan(g1: SparseGrid, conv1_kernel_size: int = 7) -> UNetPlan:
+    """Build the full plan from the stride-1 grid. Jittable."""
+    g2, _ = stride_grid(g1, 2)
+    g4, _ = stride_grid(g2, 2)
+    g8, _ = stride_grid(g4, 2)
+    return UNetPlan(
+        g1=g1,
+        g2=g2,
+        g4=g4,
+        g8=g8,
+        mask1=_mask(g1),
+        mask2=_mask(g2),
+        mask4=_mask(g4),
+        mask8=_mask(g8),
+        conv1=build_kernel_map(g1, g1, conv1_kernel_size),
+        b1=build_kernel_map(g1, g1, 3),
+        down2=build_kernel_map(g1, g2, 3),
+        b2=build_kernel_map(g2, g2, 3),
+        down3=build_kernel_map(g2, g4, 3),
+        b4_g4=build_kernel_map(g4, g4, 3),
+        down4=build_kernel_map(g4, g8, 3),
+        b4_g8=build_kernel_map(g8, g8, 3),
+        up4=build_kernel_map(g8, g4, 3, transposed=True),
+        up3=build_kernel_map(g4, g2, 3, transposed=True),
+        up2=build_kernel_map(g2, g1, 3, transposed=True),
+    )
