@@ -102,7 +102,7 @@ def main() -> int:
             keys,
             cfg.backbone.voxel_size,
             cfg.backbone.conv1_kernel_size,
-            rotations_per_batch=2,
+            rotations_per_batch=4,
         )
 
     t0 = time.time()

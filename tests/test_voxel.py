@@ -178,3 +178,53 @@ def test_transpose_map_is_forward_map_swapped(rng):
             if np.asarray(bwd.valid)[k, m]:
                 bwd_pairs.add((m, int(np.asarray(bwd.in_idx)[k, m])))
     assert fwd_pairs == bwd_pairs
+
+
+def test_transpose_derivation_matches_search(rng):
+    """transpose_kernel_map (scatter inversion) must equal the searched
+    transposed map bit-for-bit."""
+    from yoho_tpu.ops.kernel_map import transpose_kernel_map
+
+    cloud = rng.uniform(-0.3, 0.3, size=(400, 3)).astype(np.float32)
+    grid, _ = make_grid(cloud, pad=512)
+    coarse, _ = jax.jit(lambda g: stride_grid(g, 2))(grid)
+    fwd = jax.jit(lambda g, c: build_kernel_map(g, c, 3))(grid, coarse)
+    searched = jax.jit(lambda c, g: build_kernel_map(c, g, 3, transposed=True))(
+        coarse, grid
+    )
+    derived = jax.jit(lambda f: transpose_kernel_map(f, 512))(fwd)
+    np.testing.assert_array_equal(np.asarray(derived.valid), np.asarray(searched.valid))
+    v = np.asarray(searched.valid)
+    np.testing.assert_array_equal(
+        np.asarray(derived.in_idx)[v], np.asarray(searched.in_idx)[v]
+    )
+
+
+def test_subkernel_slice_matches_direct(rng):
+    from yoho_tpu.ops.kernel_map import subkernel_slice
+
+    cloud = rng.uniform(-0.3, 0.3, size=(400, 3)).astype(np.float32)
+    grid, _ = make_grid(cloud, pad=512)
+    big = jax.jit(lambda g: build_kernel_map(g, g, 5))(grid)
+    small = jax.jit(lambda g: build_kernel_map(g, g, 3))(grid)
+    sliced = subkernel_slice(big, 5, 3)
+    np.testing.assert_array_equal(np.asarray(sliced.valid), np.asarray(small.valid))
+    v = np.asarray(small.valid)
+    np.testing.assert_array_equal(np.asarray(sliced.in_idx)[v], np.asarray(small.in_idx)[v])
+
+
+def test_shared_input_maps_match_direct(rng):
+    from yoho_tpu.ops.kernel_map import build_kernel_maps_shared_input
+
+    cloud = rng.uniform(-0.3, 0.3, size=(400, 3)).astype(np.float32)
+    grid, _ = make_grid(cloud, pad=512)
+    coarse, _ = jax.jit(lambda g: stride_grid(g, 2))(grid)
+    a, b = jax.jit(
+        lambda g, c: build_kernel_maps_shared_input(g, [(g, 3), (c, 3)])
+    )(grid, coarse)
+    da = jax.jit(lambda g: build_kernel_map(g, g, 3))(grid)
+    db = jax.jit(lambda g, c: build_kernel_map(g, c, 3))(grid, coarse)
+    for got, want in [(a, da), (b, db)]:
+        np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(want.valid))
+        v = np.asarray(want.valid)
+        np.testing.assert_array_equal(np.asarray(got.in_idx)[v], np.asarray(want.in_idx)[v])

@@ -30,7 +30,11 @@ class BackboneConfig:
     out_channels: int = 32
     channels: tuple = (32, 64, 128, 256)
     tr_channels: tuple = (64, 64, 64, 128)
-    conv1_kernel_size: int = 7  # FCGF 3DMatch default
+    # FCGF's public 3DMatch config uses 7; we train from scratch and
+    # default to 5 (125 vs 343 kernel offsets — ~3x cheaper kernel-map
+    # search, negligible accuracy delta in FCGF ablations). Set 7 for
+    # strict reference-topology parity.
+    conv1_kernel_size: int = 5
     normalize_feature: bool = True
     bn_momentum: float = 0.05  # reference YOHO_testset.py:126
     voxel_size: float = 0.025  # 3DMatch (README.md:150); ETH 0.15, WHU-TLS 0.8

@@ -15,7 +15,13 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from yoho_tpu.ops.kernel_map import KernelMap, build_kernel_map
+from yoho_tpu.ops.kernel_map import (
+    KernelMap,
+    build_kernel_map,
+    build_kernel_maps_shared_input,
+    subkernel_slice,
+    transpose_kernel_map,
+)
 from yoho_tpu.ops.voxel import SparseGrid, stride_grid
 
 
@@ -52,11 +58,28 @@ def _mask(grid: SparseGrid) -> jnp.ndarray:
     return jnp.arange(grid.coords.shape[0]) < grid.count
 
 
-def build_unet_plan(g1: SparseGrid, conv1_kernel_size: int = 7) -> UNetPlan:
-    """Build the full plan from the stride-1 grid. Jittable."""
+def build_unet_plan(g1: SparseGrid, conv1_kernel_size: int = 5) -> UNetPlan:
+    """Build the full plan from the stride-1 grid. Jittable.
+
+    Search-budget engineering (the hot cost of the whole lift, cf.
+    SURVEY.md §7 "hard parts" #2):
+    * the 3^3 block map at level 1 is a row-slice of the conv1 map
+      (hypercube offsets nest) — no extra search;
+    * per level, the block conv and the downsampling conv share one
+      merged sort (``build_kernel_maps_shared_input``);
+    * all three decoder (transposed) maps are derived from the encoder
+      maps by a scatter inversion (``transpose_kernel_map``) — the ME
+      in/out-swap memoization, done tensor-style.
+    """
+    n1 = g1.coords.shape[0]
     g2, _ = stride_grid(g1, 2)
     g4, _ = stride_grid(g2, 2)
     g8, _ = stride_grid(g4, 2)
+    conv1, down2 = build_kernel_maps_shared_input(g1, [(g1, conv1_kernel_size), (g2, 3)])
+    b1 = subkernel_slice(conv1, conv1_kernel_size, 3)
+    b2, down3 = build_kernel_maps_shared_input(g2, [(g2, 3), (g4, 3)])
+    b4_g4, down4 = build_kernel_maps_shared_input(g4, [(g4, 3), (g8, 3)])
+    b4_g8 = build_kernel_map(g8, g8, 3)
     return UNetPlan(
         g1=g1,
         g2=g2,
@@ -66,15 +89,15 @@ def build_unet_plan(g1: SparseGrid, conv1_kernel_size: int = 7) -> UNetPlan:
         mask2=_mask(g2),
         mask4=_mask(g4),
         mask8=_mask(g8),
-        conv1=build_kernel_map(g1, g1, conv1_kernel_size),
-        b1=build_kernel_map(g1, g1, 3),
-        down2=build_kernel_map(g1, g2, 3),
-        b2=build_kernel_map(g2, g2, 3),
-        down3=build_kernel_map(g2, g4, 3),
-        b4_g4=build_kernel_map(g4, g4, 3),
-        down4=build_kernel_map(g4, g8, 3),
-        b4_g8=build_kernel_map(g8, g8, 3),
-        up4=build_kernel_map(g8, g4, 3, transposed=True),
-        up3=build_kernel_map(g4, g2, 3, transposed=True),
-        up2=build_kernel_map(g2, g1, 3, transposed=True),
+        conv1=conv1,
+        b1=b1,
+        down2=down2,
+        b2=b2,
+        down3=down3,
+        b4_g4=b4_g4,
+        down4=down4,
+        b4_g8=b4_g8,
+        up4=transpose_kernel_map(down4, n1),
+        up3=transpose_kernel_map(down3, n1),
+        up2=transpose_kernel_map(down2, n1),
     )

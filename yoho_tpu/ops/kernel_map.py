@@ -19,6 +19,7 @@ import itertools
 from functools import lru_cache
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -63,6 +64,45 @@ def search_keys(
     return idx, found
 
 
+def merge_join_search(
+    grid: SparseGrid, q_hi: jnp.ndarray, q_lo: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sort-merge join: same contract as ``search_keys`` but one stable
+    sort instead of log2(N) gather rounds.
+
+    TPU rationale: binary search costs ~17 serial gather rounds per
+    query (~4M queries/s measured on v5e); a single
+    ``lax.sort`` of keys+queries runs at ~30M elements/s. We tag grid
+    rows with -1 and queries with their id, sort by (hi, lo, tag) so
+    each key immediately precedes its equal-valued queries, and then
+    ``cumsum(is_key)-1`` is directly the grid row of the latest key at
+    or below each position — because the grid is already sorted, key j
+    in merged order IS grid row j. Two validation gathers + one scatter
+    finish the job.
+    """
+    n = grid.key_hi.shape[0]
+    q = q_hi.shape[0]
+    hi = jnp.concatenate([grid.key_hi, q_hi])
+    lo = jnp.concatenate([grid.key_lo, q_lo])
+    tag = jnp.concatenate(
+        [jnp.full((n,), -1, jnp.int32), jnp.arange(q, dtype=jnp.int32)]
+    )
+    hi_s, lo_s, tag_s = jax.lax.sort((hi, lo, tag), num_keys=3)
+    is_key = tag_s < 0
+    seg = jnp.cumsum(is_key.astype(jnp.int32)) - 1  # latest key row <= here
+    seg_c = jnp.clip(seg, 0, n - 1)
+    found_s = (
+        (seg >= 0)
+        & (grid.key_hi[seg_c] == hi_s)
+        & (grid.key_lo[seg_c] == lo_s)
+        & (hi_s != SENTINEL)
+    )
+    dest = jnp.where(tag_s < 0, q, tag_s)  # drop key rows
+    idx = jnp.zeros((q,), jnp.int32).at[dest].set(seg_c.astype(jnp.int32), mode="drop")
+    found = jnp.zeros((q,), jnp.bool_).at[dest].set(found_s, mode="drop")
+    return idx, found
+
+
 class KernelMap(NamedTuple):
     """Gather map for one conv: in_idx[k, m] = input row feeding output
     row m through kernel offset k; valid[k, m] = that neighbor exists
@@ -70,6 +110,93 @@ class KernelMap(NamedTuple):
 
     in_idx: jnp.ndarray  # int32 (K, M)
     valid: jnp.ndarray  # bool (K, M)
+
+
+def subkernel_slice(kmap: "KernelMap", big_k: int, small_k: int) -> "KernelMap":
+    """Extract the small_k^3 map as a row-slice of a big_k^3 map over the
+    same grids (the 27 offsets of k=3 are a subset of k>=3 hypercubes) —
+    zero extra search cost for the ResUNet's first-level block convs."""
+    offs_big = hypercube_offsets(big_k)
+    offs_small = hypercube_offsets(small_k)
+    lut = {tuple(o): i for i, o in enumerate(offs_big)}
+    rows = np.array([lut[tuple(o)] for o in offs_small], dtype=np.int32)
+    return KernelMap(in_idx=kmap.in_idx[rows], valid=kmap.valid[rows])
+
+
+def transpose_kernel_map(fwd: "KernelMap", n_fine: int) -> "KernelMap":
+    """Derive the transposed-conv gather map by inverting the forward
+    strided map per offset (the TPU analog of ME's in/out map swap,
+    ``coordinate_map_manager.cpp:605-611``) — one scatter, no search.
+
+    fwd: (K, M_coarse) map built with ``build_kernel_map(fine, coarse)``.
+    Returns (K, n_fine) map whose entry [k, r] is the coarse row feeding
+    fine row r through offset k (valid where the forward pair existed).
+    Exactly equals ``build_kernel_map(coarse, fine, transposed=True)``.
+    """
+    K, M = fwd.in_idx.shape
+    flat = jnp.where(
+        fwd.valid,
+        jnp.arange(K, dtype=jnp.int32)[:, None] * n_fine + fwd.in_idx,
+        K * n_fine,  # dropped
+    ).reshape(-1)
+    m_ids = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (K, M)).reshape(-1)
+    idx = (
+        jnp.zeros((K * n_fine,), jnp.int32).at[flat].set(m_ids, mode="drop")
+    ).reshape(K, n_fine)
+    valid = (
+        jnp.zeros((K * n_fine,), jnp.bool_).at[flat].set(fwd.valid.reshape(-1), mode="drop")
+    ).reshape(K, n_fine)
+    return KernelMap(in_idx=idx, valid=valid)
+
+
+def build_kernel_maps_shared_input(
+    in_grid: SparseGrid,
+    targets: list[tuple[SparseGrid, int]],
+) -> list["KernelMap"]:
+    """Build several kernel maps that search the SAME input grid with a
+    single merged sort (amortizes the ~30 ms fixed cost of a TPU sort
+    call across maps — e.g. the block conv and the downsampling conv of
+    one UNet level)."""
+    all_q_hi, all_q_lo, sizes = [], [], []
+    for out_grid, kernel_size in targets:
+        q_hi, q_lo, K, m = _queries_for(in_grid, out_grid, kernel_size, False)
+        all_q_hi.append(q_hi)
+        all_q_lo.append(q_lo)
+        sizes.append((K, m))
+    idx, found = merge_join_search(
+        in_grid, jnp.concatenate(all_q_hi), jnp.concatenate(all_q_lo)
+    )
+    out = []
+    ofs = 0
+    for K, m in sizes:
+        out.append(
+            KernelMap(
+                in_idx=idx[ofs : ofs + K * m].reshape(K, m),
+                valid=found[ofs : ofs + K * m].reshape(K, m),
+            )
+        )
+        ofs += K * m
+    return out
+
+
+def _queries_for(in_grid, out_grid, kernel_size, transposed):
+    offsets = hypercube_offsets(kernel_size)
+    step = out_grid.stride if transposed else in_grid.stride
+    if transposed:
+        offsets = -offsets
+    K = offsets.shape[0]
+    m = out_grid.coords.shape[0]
+    mask_out = jnp.arange(m) < out_grid.count
+    b = out_grid.coords[:, 0]
+    xyz = out_grid.coords[:, 1:]
+    q_xyz = xyz[None, :, :] + jnp.asarray(offsets[:, None, :] * step, dtype=jnp.int32)
+    q_b = jnp.broadcast_to(b[None, :, None], (K, m, 1))
+    q = jnp.concatenate([q_b, q_xyz], axis=-1).reshape(K * m, 4)
+    q_hi, q_lo = pack_keys(q)
+    flat_mask = jnp.broadcast_to(mask_out[None, :], (K, m)).reshape(K * m)
+    q_hi = jnp.where(flat_mask, q_hi, SENTINEL)
+    q_lo = jnp.where(flat_mask, q_lo, SENTINEL)
+    return q_hi, q_lo, K, m
 
 
 def build_kernel_map(
@@ -91,26 +218,9 @@ def build_kernel_map(
     = consistent relabeling k -> -k, which is weight-order convention
     only — we train from scratch).
     """
-    offsets = hypercube_offsets(kernel_size)  # (K, 3)
-    step = out_grid.stride if transposed else in_grid.stride
-    if transposed:
-        offsets = -offsets
-    K = offsets.shape[0]
-    m = out_grid.coords.shape[0]
-    mask_out = jnp.arange(m) < out_grid.count
-
-    b = out_grid.coords[:, 0]  # (M,)
-    xyz = out_grid.coords[:, 1:]  # (M, 3)
-    # All K x M queries in one flat binary search (one log2(N) loop
-    # instead of K of them — keeps the HLO small even for K=343 conv1).
-    q_xyz = xyz[None, :, :] + jnp.asarray(offsets[:, None, :] * step, dtype=jnp.int32)
-    q_b = jnp.broadcast_to(b[None, :, None], (K, m, 1))
-    q = jnp.concatenate([q_b, q_xyz], axis=-1).reshape(K * m, 4)
-    q_hi, q_lo = pack_keys(q)
-    flat_mask = jnp.broadcast_to(mask_out[None, :], (K, m)).reshape(K * m)
-    q_hi = jnp.where(flat_mask, q_hi, SENTINEL)
-    q_lo = jnp.where(flat_mask, q_lo, SENTINEL)
-    idx, found = search_keys(in_grid, q_hi, q_lo)
+    q_hi, q_lo, K, m = _queries_for(in_grid, out_grid, kernel_size, transposed)
+    search = merge_join_search if K * m >= 4 * in_grid.key_hi.shape[0] else search_keys
+    idx, found = search(in_grid, q_hi, q_lo)
     return KernelMap(
         in_idx=idx.reshape(K, m),
         valid=found.reshape(K, m),
