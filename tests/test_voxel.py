@@ -228,3 +228,30 @@ def test_shared_input_maps_match_direct(rng):
         np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(want.valid))
         v = np.asarray(want.valid)
         np.testing.assert_array_equal(np.asarray(got.in_idx)[v], np.asarray(want.in_idx)[v])
+
+
+def test_unique_out_size_saturation(rng):
+    """When unique count exceeds out_size, the highest keys drop and
+    count saturates — well-defined truncation."""
+    cloud = rng.uniform(-1, 1, size=(3000, 3)).astype(np.float32)
+    n = cloud.shape[0]
+    pts = jnp.zeros((4096, 3), jnp.float32).at[:n].set(jnp.asarray(cloud))
+    from yoho_tpu.ops.voxel import quantize
+
+    coords, valid = quantize(pts, 0.05, n)
+    small, _ = jax.jit(lambda c, v: unique_voxels(c, v, out_size=256))(coords, valid)
+    full, _ = jax.jit(lambda c, v: unique_voxels(c, v))(coords, valid)
+    assert int(small.count) == 256
+    np.testing.assert_array_equal(
+        np.asarray(small.coords), np.asarray(full.coords)[:256]
+    )
+
+
+def test_stride_grid_smaller_pad(rng):
+    cloud = rng.uniform(-0.5, 0.5, size=(2000, 3)).astype(np.float32)
+    grid, _ = make_grid(cloud)
+    coarse, parent = jax.jit(lambda g: stride_grid(g, 2, out_size=2048))(grid)
+    assert coarse.coords.shape[0] == 2048
+    vox = _np_unique_voxels(cloud, 0.05)
+    ref_coarse = np.unique((vox // 2) * 2, axis=0)
+    assert int(coarse.count) == len(ref_coarse)

@@ -72,9 +72,13 @@ def build_unet_plan(g1: SparseGrid, conv1_kernel_size: int = 5) -> UNetPlan:
       in/out-swap memoization, done tensor-style.
     """
     n1 = g1.coords.shape[0]
-    g2, _ = stride_grid(g1, 2)
-    g4, _ = stride_grid(g2, 2)
-    g8, _ = stride_grid(g4, 2)
+    # Shrinking per-level pads: scans are 2-manifolds, so stride-2
+    # merges ~4x voxels; /2 per level is conservative. Saturation at
+    # the pad drops highest-key voxels (never observed on real scans;
+    # behavior is well-defined and tested).
+    g2, _ = stride_grid(g1, 2, out_size=max(n1 // 2, 1024))
+    g4, _ = stride_grid(g2, 2, out_size=max(n1 // 4, 1024))
+    g8, _ = stride_grid(g4, 2, out_size=max(n1 // 8, 1024))
     conv1, down2 = build_kernel_maps_shared_input(g1, [(g1, conv1_kernel_size), (g2, 3)])
     b1 = subkernel_slice(conv1, conv1_kernel_size, 3)
     b2, down3 = build_kernel_maps_shared_input(g2, [(g2, 3), (g4, 3)])
@@ -97,7 +101,7 @@ def build_unet_plan(g1: SparseGrid, conv1_kernel_size: int = 5) -> UNetPlan:
         b4_g4=b4_g4,
         down4=down4,
         b4_g8=b4_g8,
-        up4=transpose_kernel_map(down4, n1),
-        up3=transpose_kernel_map(down3, n1),
+        up4=transpose_kernel_map(down4, g4.coords.shape[0]),
+        up3=transpose_kernel_map(down3, g2.coords.shape[0]),
         up2=transpose_kernel_map(down2, n1),
     )

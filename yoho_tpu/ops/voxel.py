@@ -103,18 +103,27 @@ def unique_voxels(
     coords: jnp.ndarray,
     valid: jnp.ndarray,
     stride: int = 1,
+    out_size: int | None = None,
 ) -> tuple[SparseGrid, jnp.ndarray]:
     """Deduplicate voxel coordinates -> sorted SparseGrid.
 
-    Returns (grid, first_index) where first_index[i] (int32 (N,)) is the
-    index into the *input* rows of the representative (first occurrence
-    in sorted order) of unique voxel i. Rows >= grid.count are padding.
+    Returns (grid, first_index) where first_index[i] (int32 (out_size,))
+    is the index into the *input* rows of the representative (first
+    occurrence in sorted order) of unique voxel i. Rows >= grid.count
+    are padding.
+
+    ``out_size`` (default = input length) sets the static output pad;
+    if the true unique count exceeds it, the highest-key voxels are
+    dropped and ``count`` saturates at out_size. Downsampled UNet levels
+    use shrinking pads (real scans are 2-manifolds: stride-2 merges
+    ~4x), which is the dominant sort-volume saving in the lift.
 
     This is the TPU analog of ``sparse_quantize(..., return_index=True)``
     (reference ``MinkowskiEngine/utils/quantization.py:125``): one sort,
     one neighbor-compare, one cumsum — no hash table, deterministic.
     """
     n = coords.shape[0]
+    m = n if out_size is None else out_size
     hi, lo = pack_keys(coords)
     hi = jnp.where(valid, hi, SENTINEL)
     lo = jnp.where(valid, lo, SENTINEL)
@@ -130,13 +139,13 @@ def unique_voxels(
     ) & is_valid_s
     # Position each first-occurrence row at its unique rank; scatter.
     rank = jnp.cumsum(new_flag) - 1  # (n,) int; garbage where ~new_flag
-    dest = jnp.where(new_flag, rank, n)  # out-of-range drop for dups/pad
-    ucount = jnp.sum(new_flag).astype(jnp.int32)
+    dest = jnp.where(new_flag, rank, m)  # out-of-range drop for dups/pad
+    ucount = jnp.minimum(jnp.sum(new_flag), m).astype(jnp.int32)
 
-    out_coords = jnp.zeros((n, 4), dtype=jnp.int32).at[dest].set(coords_s, mode="drop")
-    out_hi = jnp.full((n,), SENTINEL).at[dest].set(hi_s, mode="drop")
-    out_lo = jnp.full((n,), SENTINEL).at[dest].set(lo_s, mode="drop")
-    first_index = jnp.zeros((n,), dtype=jnp.int32).at[dest].set(src_s, mode="drop")
+    out_coords = jnp.zeros((m, 4), dtype=jnp.int32).at[dest].set(coords_s, mode="drop")
+    out_hi = jnp.full((m,), SENTINEL).at[dest].set(hi_s, mode="drop")
+    out_lo = jnp.full((m,), SENTINEL).at[dest].set(lo_s, mode="drop")
+    first_index = jnp.zeros((m,), dtype=jnp.int32).at[dest].set(src_s, mode="drop")
 
     grid = SparseGrid(
         coords=out_coords, key_hi=out_hi, key_lo=out_lo, count=ucount, stride=stride
@@ -155,7 +164,9 @@ def build_grid(
     return unique_voxels(coords, valid)
 
 
-def stride_grid(grid: SparseGrid, factor: int = 2) -> tuple[SparseGrid, jnp.ndarray]:
+def stride_grid(
+    grid: SparseGrid, factor: int = 2, out_size: int | None = None
+) -> tuple[SparseGrid, jnp.ndarray]:
     """Downsample a grid by ``factor`` (MinkowskiEngine ``stride`` map,
     reference ``coordinate_map_cpu.hpp:421-441``).
 
@@ -171,7 +182,7 @@ def stride_grid(grid: SparseGrid, factor: int = 2) -> tuple[SparseGrid, jnp.ndar
     xyz = grid.coords[:, 1:]
     coarse_xyz = jnp.floor_divide(xyz, new_stride) * new_stride
     coarse = jnp.concatenate([b, coarse_xyz], axis=1)
-    coarse_grid, _ = unique_voxels(coarse, valid, stride=new_stride)
+    coarse_grid, _ = unique_voxels(coarse, valid, stride=new_stride, out_size=out_size)
     # Map each fine voxel to its coarse rank by binary search.
     from yoho_tpu.ops.kernel_map import search_keys
 
