@@ -1,0 +1,138 @@
+"""Train the FCGF backbone from scratch on 3dmatch_train fragments.
+
+The reference ships a pre-trained torch checkpoint (stripped from the
+mirror) and trains FCGF outside the repo (``others/Readme.md:55-57``);
+this script owns that recipe: hardest-contrastive loss on aligned
+fragment pairs with random-rotation augmentation.
+
+Usage: python scripts/train_fcgf.py --origin-dir ./data/origin_data \
+         [--steps 30000] [--model-dir ./model]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--origin-dir", default="./data/origin_data")
+    ap.add_argument("--model-dir", default="./model")
+    ap.add_argument("--steps", type=int, default=30000)
+    ap.add_argument("--lr", type=float, default=1e-1 * 0.01)  # 1e-3 Adam
+    ap.add_argument("--val-interval", type=int, default=2000)
+    ap.add_argument("--save-interval", type=int, default=1000)
+    ap.add_argument("--n-pos", type=int, default=512)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache"),
+    )
+    import jax.numpy as jnp
+    import optax
+
+    from yoho_tpu.config import default_config
+    from yoho_tpu.data.dataset import VAL_SCENES, get_datasets
+    from yoho_tpu.data.fcgf_pairs import make_fcgf_batch
+    from yoho_tpu.models.fcgf import SparseResUNet
+    from yoho_tpu.models.plan import build_unet_plan
+    from yoho_tpu.ops.voxel import build_grid
+    from yoho_tpu.pipeline.runner import host_prevoxelize
+    from yoho_tpu.train.fcgf import fcgf_train_step
+    from yoho_tpu.train.steps import init_train_state
+    from yoho_tpu.train.trainer import load_checkpoint, save_checkpoint
+
+    cfg = default_config()
+    pad = cfg.pad.max_voxels
+    vs = cfg.backbone.voxel_size
+    model = SparseResUNet(cfg.backbone)
+    rng = np.random.default_rng(0)
+
+    datasets = get_datasets("3dmatch_train", args.origin_dir)
+    pair_list = []
+    for scene, ds in datasets.items():
+        if scene == "wholesetname" or scene in VAL_SCENES:
+            continue
+        for p in ds.pair_ids:
+            pair_list.append((ds, p))
+    print(f"{len(pair_list)} training pairs")
+
+    cloud_cache = {}
+
+    def get_cloud(ds, pc_id):
+        k = (ds.name, pc_id)
+        if k not in cloud_cache:
+            cloud_cache[k] = host_prevoxelize(ds.get_pc(pc_id), vs, pad)
+            if len(cloud_cache) > 64:
+                cloud_cache.pop(next(iter(cloud_cache)))
+        return cloud_cache[k]
+
+    def sample_batch():
+        ds, (a, b) = pair_list[rng.integers(0, len(pair_list))]
+        return make_fcgf_batch(
+            get_cloud(ds, a), get_cloud(ds, b), vs, pad, n_pos=args.n_pos, rng=rng
+        )
+
+    pts = jnp.zeros((pad, 3), jnp.float32)
+    g0, _ = jax.jit(lambda p: build_grid(p, vs, 10))(pts)
+    plan0 = jax.jit(lambda g: build_unet_plan(g, cfg.backbone.conv1_kernel_size))(g0)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.ones((pad, 1), jnp.float32), plan0, False
+    )
+    schedule = optax.exponential_decay(1e-3, args.steps // 4, 0.5)
+    opt = optax.adam(schedule)
+    state = init_train_state(variables, opt)
+
+    model_dir = os.path.join(args.model_dir, "Backbone")
+    os.makedirs(model_dir, exist_ok=True)
+    ckpt = os.path.join(model_dir, "model.pkl")
+    best_fn = os.path.join(model_dir, "model_best.pkl")
+    best = 1e9
+    if os.path.exists(ckpt):
+        state, best = load_checkpoint(ckpt, state)
+        print(f"resumed at step {int(state.step)}")
+
+    step_fn = jax.jit(
+        lambda s, b, k: fcgf_train_step(
+            model, opt, s, b, vs, cfg.backbone.conv1_kernel_size, k
+        )
+    )
+    running = []
+    t0 = time.time()
+    while int(state.step) < args.steps:
+        b = sample_batch()
+        state, metrics = step_fn(
+            state,
+            {k: jnp.asarray(v) for k, v in b.items()},
+            jax.random.PRNGKey(int(state.step)),
+        )
+        running.append(float(metrics["loss"]))
+        step = int(state.step)
+        if step % 100 == 0:
+            print(
+                f"step {step} loss {np.mean(running):.4f} "
+                f"({time.time()-t0:.0f}s)",
+                flush=True,
+            )
+            running = []
+        if step % args.save_interval == 0:
+            save_checkpoint(ckpt, state, best)
+        if step % args.val_interval == 0:
+            # proxy validation: running loss (full val would lift features)
+            cur = float(metrics["loss"])
+            if cur < best:
+                best = cur
+                save_checkpoint(best_fn, state, best)
+    save_checkpoint(ckpt, state, best)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

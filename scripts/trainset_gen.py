@@ -1,0 +1,102 @@
+"""Generate the PartI/PartII training set (reference ``YOHO_Trainset.py``).
+
+Stages (idempotent): keypoint PCA filter + gt pair mining, 5-random-
+rotation x 60-group feature lifting with the trained FCGF backbone,
+batch baking, validation set.
+
+Usage: python scripts/trainset_gen.py --origin-dir ./data/origin_data \
+         --output-dir ./data/YOHO_TPU [--stage all|filter|lift|bake]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--origin-dir", default="./data/origin_data")
+    ap.add_argument("--output-dir", default="./data/YOHO_TPU")
+    ap.add_argument("--model-dir", default="./model")
+    ap.add_argument("--stage", default="all", choices=["all", "filter", "lift", "bake"])
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache"),
+    )
+    import jax.numpy as jnp
+
+    from yoho_tpu.config import default_config
+    from yoho_tpu.data.dataset import VAL_SCENES, get_datasets
+    from yoho_tpu.data import trainset as ts
+    from yoho_tpu.models.fcgf import SparseResUNet
+    from yoho_tpu.models.plan import build_unet_plan
+    from yoho_tpu.ops.voxel import build_grid
+    from yoho_tpu.pipeline.lifting import lift_group_features
+    from yoho_tpu.pipeline.runner import host_prevoxelize
+    from yoho_tpu.train.steps import init_train_state, make_optimizer
+    from yoho_tpu.train.trainer import load_checkpoint
+
+    cfg = default_config()
+    datasets = get_datasets("3dmatch_train", args.origin_dir)
+
+    if args.stage in ("all", "filter"):
+        ts.filter_keypoints_and_pairs(datasets, args.output_dir, VAL_SCENES)
+
+    if args.stage in ("all", "lift"):
+        pad = cfg.pad.max_voxels
+        model = SparseResUNet(cfg.backbone)
+        pts0 = jnp.zeros((pad, 3), jnp.float32)
+        g0, _ = jax.jit(lambda p: build_grid(p, cfg.backbone.voxel_size, 10))(pts0)
+        plan0 = jax.jit(lambda g: build_unet_plan(g, cfg.backbone.conv1_kernel_size))(g0)
+        v0 = model.init(jax.random.PRNGKey(0), jnp.ones((pad, 1), jnp.float32), plan0, False)
+        ckpt = os.path.join(args.model_dir, "Backbone", "model_best.pkl")
+        if os.path.exists(ckpt):
+            state, _ = load_checkpoint(
+                ckpt, init_train_state(v0, make_optimizer(cfg.train, 1))
+            )
+            fcgf_vars = {"params": state.params, "batch_stats": state.batch_stats}
+        else:
+            print(f"WARNING: no backbone checkpoint at {ckpt}; random init")
+            fcgf_vars = v0
+
+        fcgf_apply = lambda v, f, p: model.apply(v, f, p, False)
+        kn_pad = cfg.pad.num_keypoints
+
+        @jax.jit
+        def lift(points, n, keys):
+            return lift_group_features(
+                fcgf_apply, fcgf_vars, points, n, keys,
+                cfg.backbone.voxel_size, cfg.backbone.conv1_kernel_size,
+                rotations_per_batch=4,
+            )
+
+        def lift_fn(pc_r, keys_r):
+            reps = host_prevoxelize(pc_r, cfg.backbone.voxel_size, pad)
+            pts = np.zeros((pad, 3), np.float32)
+            n = min(len(reps), pad)
+            pts[:n] = reps[:n]
+            kn = len(keys_r)
+            keys_pad = np.zeros((kn_pad, 3), np.float32)
+            keys_pad[: min(kn, kn_pad)] = keys_r[:kn_pad]
+            F = np.asarray(lift(jnp.asarray(pts), n, jnp.asarray(keys_pad)))
+            return F[:kn]
+
+        ts.generate_rotated_features(lift_fn, datasets, args.output_dir, pad)
+
+    if args.stage in ("all", "bake"):
+        n = ts.bake_train_batches(datasets, args.output_dir, VAL_SCENES)
+        print(f"baked {n} train batches")
+        m = ts.bake_val_batches(datasets, args.output_dir, VAL_SCENES)
+        print(f"baked {m} val batches")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

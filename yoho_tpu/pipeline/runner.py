@@ -1,0 +1,385 @@
+"""Host-side pipeline orchestration with idempotent stage caching.
+
+The reference's L5 layer (``tests/extractor.py``, ``tests/matcher.py``,
+``tests/estimator.py``, ``tests/evaluator.py``) communicates through an
+on-disk cache and skips finished stages via ``os.path.exists`` — its
+only failure-recovery mechanism (SURVEY.md intro). This runner keeps
+that contract (same cache layout, same ``pre.log`` outputs, so the RR
+benchmark is file-compatible) while replacing every compute stage with
+the jitted TPU pipeline:
+
+  FCGF group lifting     -> pipeline/lifting.py      (one jit program)
+  PartI descriptors      -> models/part1.py
+  mutual matcher         -> pipeline/matching.py
+  DR-index               -> models/part1.des2dr
+  PartII per-match poses -> models/part2.py
+  YOHO-C / YOHO-O RANSAC -> pipeline/ransac.py       (vmapped on device)
+
+Cache layout (mirrors the reference under a different root name):
+  {cache}/Testset/{dataset.name}/FCGF_Input_Group_feature/{pc}.npy  (Kn,60,32)
+  {cache}/Testset/{dataset.name}/YOHO_Output_Group_feature/{pc}.npy (Kn,60,32)
+  {cache}/Testset/{dataset.name}/Match/{id0}-{id1}.npy
+  {cache}/Testset/{dataset.name}/Match/DR_index/{id0}-{id1}.npy
+  {cache}/Testset/{dataset.name}/Match/Trans_pre/{id0}-{id1}.npy
+  {cache}/Testset/{dataset.name}/Match/{SIGN}/{iters}iters/{id0}-{id1}.npz + pre.log
+
+Note: group tensors are stored (Kn, 60, C) — the group-axis-first
+layout of this framework — not the reference's (Kn, C, 60).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict
+
+import numpy as np
+
+from yoho_tpu.benchmark import rr
+from yoho_tpu.config import PipelineConfig
+from yoho_tpu.utils.so3 import transform_points
+
+
+def _ensure(d):
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def host_prevoxelize(points: np.ndarray, voxel_size: float, max_points: int) -> np.ndarray:
+    """One representative raw point per voxel (first occurrence), then
+    truncate to max_points. The reference voxelizes the raw cloud per
+    rotation (YOHO_testset.py:40); pre-voxelizing the unrotated cloud
+    once and re-voxelizing its representatives per rotation yields the
+    same voxel occupancy up to boundary ties and keeps device pads
+    static."""
+    vox = np.floor(points / voxel_size).astype(np.int64)
+    _, first = np.unique(vox, axis=0, return_index=True)
+    reps = points[np.sort(first)]
+    if reps.shape[0] > max_points:
+        sel = np.random.default_rng(0).choice(reps.shape[0], max_points, replace=False)
+        reps = reps[np.sort(sel)]
+    return reps.astype(np.float32)
+
+
+class PipelineRunner:
+    """Owns the jitted stage functions + model variables."""
+
+    def __init__(self, cfg: PipelineConfig, fcgf_vars, part1_vars, part2_vars=None):
+        import jax
+        import jax.numpy as jnp
+
+        from yoho_tpu.models.fcgf import SparseResUNet
+        from yoho_tpu.models.part1 import PartINetwork, des2dr
+        from yoho_tpu.models.part2 import PartIINetwork
+        from yoho_tpu.pipeline.lifting import lift_group_features
+        from yoho_tpu.pipeline.matching import mutual_match
+        from yoho_tpu.pipeline.ransac import yoho_c_ransac, yoho_o_ransac
+        from yoho_tpu.utils.so3 import jax_matrix_from_quaternion
+
+        self.cfg = cfg
+        self.jnp = jnp
+        self.jax = jax
+        fcgf = SparseResUNet(cfg.backbone)
+        part1 = PartINetwork(cfg.part1)
+        part2 = PartIINetwork(cfg.part2)
+        self._part2_vars = part2_vars
+        pad = cfg.pad.max_voxels
+        kn = cfg.pad.num_keypoints
+
+        fcgf_apply = lambda v, f, p: fcgf.apply(v, f, p, False)
+
+        @jax.jit
+        def lift(points, n_valid, keys):
+            return lift_group_features(
+                fcgf_apply,
+                fcgf_vars,
+                points,
+                n_valid,
+                keys,
+                cfg.backbone.voxel_size,
+                cfg.backbone.conv1_kernel_size,
+                rotations_per_batch=4,
+            )
+
+        @jax.jit
+        def part1_desc(F):
+            out = part1.apply(part1_vars, F, False)
+            return out["eqv"], out["inv"]
+
+        @jax.jit
+        def match_and_dr(eqv0, inv0, eqv1, inv1):
+            m = mutual_match(inv0, inv1)
+            # reference arg order: Batch_Des2R_torch(feats1, feats0)
+            # (tests/extractor.py:99) — before-rot first.
+            dr = des2dr(eqv1[m.pairs[:, 1]], eqv0[m.pairs[:, 0]])
+            return m, dr
+
+        @jax.jit
+        def ransac_c(key, keys0, keys1, pairs, mask, dr):
+            return yoho_c_ransac(
+                key, keys0, keys1, pairs, mask, dr,
+                max_iter=cfg.ransac.max_iter,
+                inlier_dist=cfg.ransac.inlier_dist_c,
+            )
+
+        @jax.jit
+        def part2_poses(bf0, bf1, af0, af1, pre_idx, keys_m0, keys_m1):
+            """Per-match transforms (reference extractor_PartII,
+            tests/extractor.py:125-201, incl. the 0<->1 swap)."""
+            q = part2.apply(
+                self._part2_vars, bf1, bf0, af1, af0, pre_idx, False
+            )  # swapped: '0' slot = after-rot side = our cloud... see batch_create
+            R_res = jax_matrix_from_quaternion(q)  # (M, 3, 3)
+            Rg = jnp.asarray(self._Rgroup)
+            R = jnp.einsum("mij,mjk->mik", R_res, Rg[pre_idx])
+            t = keys_m0 - jnp.einsum("mij,mj->mi", R, keys_m1)
+            return jnp.concatenate([R, t[:, :, None]], axis=2)  # (M, 3, 4)
+
+        @jax.jit
+        def ransac_o(keys0, keys1, pairs, mask, transforms):
+            return yoho_o_ransac(
+                keys0, keys1, pairs, mask, transforms,
+                inlier_dist=cfg.ransac.inlier_dist_o,
+            )
+
+        from yoho_tpu.group import get_group
+
+        self._Rgroup = get_group().rotations.astype(np.float32)
+        self.lift = lift
+        self.part1_desc = part1_desc
+        self.match_and_dr = match_and_dr
+        self.ransac_c = ransac_c
+        self.part2_poses = part2_poses
+        self.ransac_o = ransac_o
+        self.pad = pad
+        self.kn = kn
+
+    # ---------------- stage drivers (idempotent, cached) ----------------
+
+    def _pad_points(self, pts: np.ndarray):
+        out = np.zeros((self.pad, 3), np.float32)
+        n = min(len(pts), self.pad)
+        out[:n] = pts[:n]
+        return self.jnp.asarray(out), n
+
+    def extract_group_features(self, dataset, cache_dir: str) -> None:
+        """Stage 1+2: FCGF group lifting + PartI descriptors per cloud."""
+        base = _ensure(os.path.join(cache_dir, "Testset", dataset.name))
+        lift_dir = _ensure(os.path.join(base, "FCGF_Input_Group_feature"))
+        yoho_dir = _ensure(os.path.join(base, "YOHO_Output_Group_feature"))
+        for pc_id in dataset.pc_ids:
+            yoho_fn = os.path.join(yoho_dir, f"{pc_id}.npy")
+            if os.path.exists(yoho_fn):
+                continue
+            lift_fn = os.path.join(lift_dir, f"{pc_id}.npy")
+            if os.path.exists(lift_fn):
+                F = np.load(lift_fn)
+            else:
+                pts = host_prevoxelize(
+                    dataset.get_pc(pc_id),
+                    self.cfg.backbone.voxel_size,
+                    self.pad,
+                )
+                keys = dataset.get_kps(pc_id).astype(np.float32)
+                pts_j, n = self._pad_points(pts)
+                F = np.asarray(self.lift(pts_j, n, self.jnp.asarray(keys)))
+                np.save(lift_fn, F)
+            eqv, _ = self.part1_desc(self.jnp.asarray(F))
+            np.save(yoho_fn, np.asarray(eqv))
+
+    def match_scene(self, dataset, cache_dir: str) -> None:
+        """Stage 3+4: mutual matching + DR-index per pair."""
+        base = os.path.join(cache_dir, "Testset", dataset.name)
+        src = dataset.name.replace("3dLomatch", "3dmatch")
+        feat_dir = os.path.join(cache_dir, "Testset", src, "YOHO_Output_Group_feature")
+        match_dir = _ensure(os.path.join(base, "Match"))
+        dr_dir = _ensure(os.path.join(match_dir, "DR_index"))
+        jnp = self.jnp
+        for id0, id1 in dataset.pair_ids:
+            m_fn = os.path.join(match_dir, f"{id0}-{id1}.npy")
+            d_fn = os.path.join(dr_dir, f"{id0}-{id1}.npy")
+            if os.path.exists(m_fn) and os.path.exists(d_fn):
+                continue
+            eqv0 = jnp.asarray(np.load(os.path.join(feat_dir, f"{id0}.npy")))
+            eqv1 = jnp.asarray(np.load(os.path.join(feat_dir, f"{id1}.npy")))
+            inv0 = jnp.mean(eqv0, axis=1)
+            inv1 = jnp.mean(eqv1, axis=1)
+            m, dr = self.match_and_dr(eqv0, inv0, eqv1, inv1)
+            c = int(m.count)
+            np.save(m_fn, np.asarray(m.pairs)[:c])
+            np.save(d_fn, np.asarray(dr)[:c])
+
+    def estimate_scene(
+        self, dataset, cache_dir: str, estimator: str = "yoho_c", seed: int = 0
+    ) -> None:
+        """Stage 5/6: RANSAC per pair + pre.log."""
+        import jax
+
+        base = os.path.join(cache_dir, "Testset", dataset.name)
+        match_dir = os.path.join(base, "Match")
+        sign = "YOHO_C" if estimator == "yoho_c" else "YOHO_O"
+        save_dir = _ensure(
+            os.path.join(match_dir, sign, f"{self.cfg.ransac.max_iter}iters")
+        )
+        jnp = self.jnp
+        kn = self.kn
+        pairs_out, trans_out = [], []
+        for idx, (id0, id1) in enumerate(dataset.pair_ids):
+            out_fn = os.path.join(save_dir, f"{id0}-{id1}.npz")
+            if os.path.exists(out_fn):
+                d = np.load(out_fn)
+                pairs_out.append((id0, id1))
+                trans_out.append(d["trans"][:3])
+                continue
+            keys0 = dataset.get_kps(id0).astype(np.float32)
+            keys1 = dataset.get_kps(id1).astype(np.float32)
+            pairs = np.load(os.path.join(match_dir, f"{id0}-{id1}.npy"))
+            dr = np.load(os.path.join(match_dir, "DR_index", f"{id0}-{id1}.npy"))
+            m = pairs.shape[0]
+            pairs_pad = np.zeros((kn, 2), np.int32)
+            pairs_pad[:m] = pairs
+            mask = np.arange(kn) < m
+            if estimator == "yoho_c":
+                dr_pad = np.zeros((kn,), np.int32)
+                dr_pad[:m] = dr
+                res = self.ransac_c(
+                    jax.random.PRNGKey(seed + idx),
+                    jnp.asarray(keys0),
+                    jnp.asarray(keys1),
+                    jnp.asarray(pairs_pad),
+                    jnp.asarray(mask),
+                    jnp.asarray(dr_pad),
+                )
+            else:
+                T = np.load(os.path.join(match_dir, "Trans_pre", f"{id0}-{id1}.npy"))
+                T_pad = np.zeros((kn, 3, 4), np.float32)
+                T_pad[:m] = T
+                res = self.ransac_o(
+                    jnp.asarray(keys0),
+                    jnp.asarray(keys1),
+                    jnp.asarray(pairs_pad),
+                    jnp.asarray(mask),
+                    jnp.asarray(T_pad),
+                )
+            T3 = np.asarray(res.transform)
+            T4 = np.eye(4)
+            T4[:3] = T3
+            np.savez(
+                out_fn,
+                trans=T4,
+                recalltime=int(res.best_iter),
+                overlap=float(res.overlap),
+            )
+            pairs_out.append((id0, id1))
+            trans_out.append(T3)
+        rr.write_trajectory(
+            os.path.join(save_dir, "pre.log"),
+            pairs_out,
+            trans_out,
+            len(dataset.pc_ids),
+        )
+
+    def extract_part2_poses(self, dataset, cache_dir: str) -> None:
+        """PartII per-match transforms (requires part2_vars)."""
+        assert self._part2_vars is not None, "PartII variables not loaded"
+        base = os.path.join(cache_dir, "Testset", dataset.name)
+        src = dataset.name.replace("3dLomatch", "3dmatch")
+        lift_dir = os.path.join(cache_dir, "Testset", src, "FCGF_Input_Group_feature")
+        yoho_dir = os.path.join(cache_dir, "Testset", src, "YOHO_Output_Group_feature")
+        match_dir = os.path.join(base, "Match")
+        save_dir = _ensure(os.path.join(match_dir, "Trans_pre"))
+        jnp = self.jnp
+        for id0, id1 in dataset.pair_ids:
+            out_fn = os.path.join(save_dir, f"{id0}-{id1}.npy")
+            if os.path.exists(out_fn):
+                continue
+            pairs = np.load(os.path.join(match_dir, f"{id0}-{id1}.npy"))
+            dr = np.load(os.path.join(match_dir, "DR_index", f"{id0}-{id1}.npy"))
+            bf0 = np.load(os.path.join(lift_dir, f"{id0}.npy"))[pairs[:, 0]]
+            bf1 = np.load(os.path.join(lift_dir, f"{id1}.npy"))[pairs[:, 1]]
+            af0 = np.load(os.path.join(yoho_dir, f"{id0}.npy"))[pairs[:, 0]]
+            af1 = np.load(os.path.join(yoho_dir, f"{id1}.npy"))[pairs[:, 1]]
+            keys0 = dataset.get_kps(id0).astype(np.float32)[pairs[:, 0]]
+            keys1 = dataset.get_kps(id1).astype(np.float32)[pairs[:, 1]]
+            m = pairs.shape[0]
+            kn = self.kn
+
+            def pad(a, shape):
+                out = np.zeros(shape, np.float32)
+                out[:m] = a
+                return jnp.asarray(out)
+
+            dr_pad = np.zeros((kn,), np.int32)
+            dr_pad[:m] = dr
+            T = self.part2_poses(
+                pad(bf0, (kn, 60, 32)),
+                pad(bf1, (kn, 60, 32)),
+                pad(af0, (kn, 60, 32)),
+                pad(af1, (kn, 60, 32)),
+                jnp.asarray(dr_pad),
+                pad(keys0, (kn, 3)),
+                pad(keys1, (kn, 3)),
+            )
+            np.save(out_fn, np.asarray(T)[:m])
+
+    # ---------------- evaluation ----------------
+
+    def feature_match_recall(self, dataset, cache_dir: str, tau1: float, tau2: float):
+        """FMR per scene (reference tests/evaluator.py:49-71)."""
+        match_dir = os.path.join(cache_dir, "Testset", dataset.name, "Match")
+        pair_fmrs = []
+        for id0, id1 in dataset.pair_ids:
+            matches = np.load(os.path.join(match_dir, f"{id0}-{id1}.npy"))
+            keys0 = dataset.get_kps(id0)[matches[:, 0]]
+            keys1 = dataset.get_kps(id1)[matches[:, 1]]
+            gt = dataset.get_transform(id0, id1)
+            keys1 = transform_points(keys1, gt)
+            dist = np.sqrt(np.sum(np.square(keys0 - keys1), axis=-1))
+            pair_fmrs.append(np.mean(dist < tau2))
+        pair_fmrs = np.asarray(pair_fmrs)
+        return float(np.mean(pair_fmrs > tau1)), pair_fmrs
+
+    def evaluate(
+        self,
+        datasets: Dict,
+        cache_dir: str,
+        estimator: str = "yoho_c",
+        with_part2: bool = False,
+    ) -> Dict:
+        """Full protocol: per-scene pipeline + FMR, then RR
+        (reference Evaluator_PartI/II.eval)."""
+        cfg = self.cfg
+        FMRS, all_pair_fmrs = [], []
+        t0 = time.time()
+        for scene, dataset in datasets.items():
+            if scene == "wholesetname":
+                continue
+            if not dataset.name.startswith("3dLomatch"):
+                self.extract_group_features(dataset, cache_dir)
+            self.match_scene(dataset, cache_dir)
+            if with_part2:
+                self.extract_part2_poses(dataset, cache_dir)
+            self.estimate_scene(dataset, cache_dir, estimator)
+            fmr, pair_fmrs = self.feature_match_recall(
+                dataset, cache_dir, cfg.ransac.fmr_ratio, cfg.ransac.ok_match_dist_threshold
+            )
+            FMRS.append(fmr)
+            all_pair_fmrs.append(pair_fmrs)
+        sign = "YOHO_C" if estimator == "yoho_c" else "YOHO_O"
+        mean_rr, c_flags, c_errors = rr.benchmark(
+            datasets,
+            cache_dir,
+            cfg.ransac.max_iter,
+            yoho_sign=sign,
+            rr_dist_threshold=cfg.ransac.rr_dist_threshold,
+        )
+        out = {
+            "FMR": float(np.mean(FMRS)),
+            "inlier_ratio": float(np.mean(np.concatenate(all_pair_fmrs))),
+            "registration_recall": mean_rr,
+            "wall_s": time.time() - t0,
+        }
+        _ensure(os.path.join(cache_dir))
+        with open(os.path.join(cache_dir, "results.log"), "a") as f:
+            f.write(f"{datasets['wholesetname']}-{estimator}: {out}\n")
+        return out

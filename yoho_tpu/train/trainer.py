@@ -1,0 +1,232 @@
+"""Host-side trainers: PartI and PartII.
+
+Replaces the reference Trainer classes
+(``/root/reference/train/trainer.py:22-265``): step-loop with
+exponential LR decay (inside the optax schedule), periodic validation
+with best-checkpoint tracking (PartI: whole-set retrieval recall,
+``loss_val.py:75-140``; PartII: mean quaternion angular error,
+``loss_val.py:142-198``), rolling + best checkpoints with full state
+(params, batch_stats, opt_state, step, best metric) — the analog of the
+reference's ``{step,best_para,network_state_dict,optimizer_state_dict}``
+dicts — serialized with flax msgpack.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from yoho_tpu.config import PipelineConfig
+from yoho_tpu.train.losses import quaternion_angular_error_deg
+from yoho_tpu.train.steps import (
+    TrainState,
+    init_train_state,
+    make_optimizer,
+    part1_train_step,
+    part2_train_step,
+)
+
+
+def save_checkpoint(path: str, state: TrainState, best_para: float) -> None:
+    payload = {
+        "state": serialization.to_bytes(state),
+        "best_para": best_para,
+        "step": int(state.step),
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str, template: TrainState):
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    state = serialization.from_bytes(template, payload["state"])
+    return state, payload["best_para"]
+
+
+class BaseTrainer:
+    part: str = "PartI"
+
+    def __init__(self, cfg: PipelineConfig, model, model_dir: str):
+        self.cfg = cfg
+        self.model = model
+        self.model_dir = model_dir
+        os.makedirs(model_dir, exist_ok=True)
+        self.ckpt_fn = os.path.join(model_dir, "model.pkl")
+        self.best_fn = os.path.join(model_dir, "model_best.pkl")
+        self.log_fn = os.path.join(model_dir, "train.log")
+
+    def _log(self, msg: str):
+        line = f"[{time.strftime('%H:%M:%S')}] {msg}"
+        print(line, flush=True)
+        with open(self.log_fn, "a") as f:
+            f.write(line + "\n")
+
+    def fit(
+        self,
+        train_batches: Callable[[], Iterator[dict]],
+        val_batches: Callable[[], Iterator[dict]],
+        steps_per_epoch: int,
+    ):
+        cfg = self.cfg.train
+        optimizer = make_optimizer(cfg, steps_per_epoch)
+        state = self._init_state(optimizer)
+        best_para = self._init_best()
+        if os.path.exists(self.ckpt_fn):
+            state, best_para = load_checkpoint(self.ckpt_fn, state)
+            self._log(f"resumed step {int(state.step)} best {best_para}")
+
+        step_fn = jax.jit(self._make_step(optimizer))
+        total_steps = cfg.epochs * steps_per_epoch
+        running = []
+        while int(state.step) < total_steps:
+            for batch in train_batches():
+                state, metrics = step_fn(state, batch)
+                running.append(float(metrics["loss"]))
+                step = int(state.step)
+                if step % cfg.train_log_step == 0:
+                    self._log(f"step {step}/{total_steps} loss {np.mean(running):.5f}")
+                    running = []
+                if step % cfg.val_interval == 0:
+                    para = self._validate(state, val_batches)
+                    if self._is_better(para, best_para):
+                        best_para = para
+                        save_checkpoint(self.best_fn, state, best_para)
+                        self._log(f"new best {best_para:.5f} @ step {step}")
+                if step % cfg.save_interval == 0:
+                    save_checkpoint(self.ckpt_fn, state, best_para)
+                if step >= total_steps:
+                    break
+        save_checkpoint(self.ckpt_fn, state, best_para)
+        return state, best_para
+
+    # --- subclass hooks ---
+    def _init_state(self, optimizer) -> TrainState:
+        raise NotImplementedError
+
+    def _make_step(self, optimizer):
+        raise NotImplementedError
+
+    def _validate(self, state, val_batches) -> float:
+        raise NotImplementedError
+
+    def _init_best(self) -> float:
+        raise NotImplementedError
+
+    def _is_better(self, a, b) -> bool:
+        raise NotImplementedError
+
+
+class TrainerPartI(BaseTrainer):
+    """Best = max whole-set retrieval recall (trainer.py:119-127)."""
+
+    part = "PartI"
+
+    def __init__(self, cfg, model, model_dir, example_batch):
+        super().__init__(cfg, model, model_dir)
+        self.example = example_batch
+
+    def _init_state(self, optimizer):
+        variables = self.model.init(
+            jax.random.PRNGKey(self.cfg.train.seed), self.example["feats0"], False
+        )
+        return init_train_state(variables, optimizer)
+
+    def _make_step(self, optimizer):
+        model, cfg = self.model, self.cfg.train
+        return lambda s, b: part1_train_step(model, optimizer, cfg, s, b)
+
+    def _init_best(self):
+        return 0.0
+
+    def _is_better(self, a, b):
+        return a >= b
+
+    def _validate(self, state, val_batches) -> float:
+        model = self.model
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        @jax.jit
+        def fwd(feats):
+            return model.apply(variables, feats, False)["inv"]
+
+        inv0_all, inv1_all = [], []
+        for batch in val_batches():
+            inv0_all.append(np.asarray(fwd(batch["feats0"])))
+            inv1_all.append(np.asarray(fwd(batch["feats1"])))
+        inv0 = np.concatenate(inv0_all)
+        inv1 = np.concatenate(inv1_all)
+        # whole-set retrieval recall (loss_val.py:80-88 / :131-135)
+        d = ((inv0[None, :, :] - inv1[:, None, :]) ** 2).sum(-1)
+        recall = float((d.argmin(1) == np.arange(len(inv0))).mean())
+        self._log(f"val whole_recall {recall:.5f}")
+        return recall
+
+
+class TrainerPartII(BaseTrainer):
+    """Best = min mean quaternion angular error (trainer.py:250-253).
+    PartI is frozen upstream: batches already contain PartI outputs."""
+
+    part = "PartII"
+
+    def __init__(self, cfg, model, model_dir, example_batch):
+        super().__init__(cfg, model, model_dir)
+        self.example = example_batch
+
+    def _init_state(self, optimizer):
+        e = self.example
+        variables = self.model.init(
+            jax.random.PRNGKey(self.cfg.train.seed),
+            e["before_eqv0"],
+            e["before_eqv1"],
+            e["after_eqv0"],
+            e["after_eqv1"],
+            e["true_idx"],
+            False,
+        )
+        return init_train_state(variables, optimizer)
+
+    def _make_step(self, optimizer):
+        model, cfg = self.model, self.cfg.train
+        return lambda s, b: part2_train_step(model, optimizer, cfg, s, b)
+
+    def _init_best(self):
+        return 100.0
+
+    def _is_better(self, a, b):
+        return a <= b
+
+    def _validate(self, state, val_batches) -> float:
+        model = self.model
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        @jax.jit
+        def fwd(b):
+            return model.apply(
+                variables,
+                b["before_eqv0"],
+                b["before_eqv1"],
+                b["after_eqv0"],
+                b["after_eqv1"],
+                b["true_idx"],
+                False,
+            )
+
+        errs = []
+        for batch in val_batches():
+            q = fwd(batch)
+            errs.append(
+                np.asarray(quaternion_angular_error_deg(q, batch["delta_q"]))
+            )
+        err = float(np.concatenate(errs).mean())
+        self._log(f"val R_error {err:.4f} deg")
+        return err
