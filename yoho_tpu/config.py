@@ -30,11 +30,16 @@ class BackboneConfig:
     out_channels: int = 32
     channels: tuple = (32, 64, 128, 256)
     tr_channels: tuple = (64, 64, 64, 128)
-    # FCGF's public 3DMatch config uses 7; we train from scratch and
-    # default to 5 (125 vs 343 kernel offsets — ~3x cheaper kernel-map
-    # search, negligible accuracy delta in FCGF ablations). Set 7 for
-    # strict reference-topology parity.
-    conv1_kernel_size: int = 5
+    # FCGF's public 3DMatch config uses a large (k=7) first conv to give
+    # the 1-channel input context. TPU-first redesign: two stacked 3^3
+    # convs (receptive field 5) — the 3^3 kernel map already exists for
+    # the residual block, so the first layer costs NO extra kernel-map
+    # search (the k>=5 map alone was ~70% of per-rotation plan cost).
+    # We train from scratch, so topology parity is not required; set
+    # conv1_kernel_size=5/7 + first_layer_double=False for the
+    # reference-like single wide conv.
+    conv1_kernel_size: int = 3
+    first_layer_double: bool = True
     normalize_feature: bool = True
     bn_momentum: float = 0.05  # reference YOHO_testset.py:126
     voxel_size: float = 0.025  # 3DMatch (README.md:150); ETH 0.15, WHU-TLS 0.8

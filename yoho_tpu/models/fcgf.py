@@ -113,6 +113,12 @@ class SparseResUNet(nn.Module):
 
         # ---- encoder ----
         out_s1 = SparseConv(c.in_channels, ch[0], K1)(feats, plan.conv1)
+        if c.first_layer_double:
+            # second 3^3 conv reusing the block map: receptive field 5
+            # at zero extra kernel-map cost (see BackboneConfig).
+            out_s1 = MaskedBatchNorm(ch[0], bm)(out_s1, plan.mask1, train)
+            out_s1 = nn.relu(out_s1)
+            out_s1 = SparseConv(ch[0], ch[0], 27)(out_s1, plan.b1)
         out_s1 = MaskedBatchNorm(ch[0], bm)(out_s1, plan.mask1, train)
         out_s1 = ResidualBlock(ch[0], bm)(out_s1, plan.b1, plan.mask1, train)
         out = nn.relu(out_s1)

@@ -58,7 +58,7 @@ def _mask(grid: SparseGrid) -> jnp.ndarray:
     return jnp.arange(grid.coords.shape[0]) < grid.count
 
 
-def build_unet_plan(g1: SparseGrid, conv1_kernel_size: int = 5) -> UNetPlan:
+def build_unet_plan(g1: SparseGrid, conv1_kernel_size: int = 3) -> UNetPlan:
     """Build the full plan from the stride-1 grid. Jittable.
 
     Search-budget engineering (the hot cost of the whole lift, cf.
@@ -79,8 +79,10 @@ def build_unet_plan(g1: SparseGrid, conv1_kernel_size: int = 5) -> UNetPlan:
     g2, _ = stride_grid(g1, 2, out_size=max(n1 // 2, 1024))
     g4, _ = stride_grid(g2, 2, out_size=max(n1 // 4, 1024))
     g8, _ = stride_grid(g4, 2, out_size=max(n1 // 8, 1024))
-    conv1, down2 = build_kernel_maps_shared_input(g1, [(g1, conv1_kernel_size), (g2, 3)])
-    b1 = subkernel_slice(conv1, conv1_kernel_size, 3)
+    conv1, down2 = build_kernel_maps_shared_input(
+        g1, [(g1, conv1_kernel_size), (g2, 3)]
+    )
+    b1 = conv1 if conv1_kernel_size == 3 else subkernel_slice(conv1, conv1_kernel_size, 3)
     b2, down3 = build_kernel_maps_shared_input(g2, [(g2, 3), (g4, 3)])
     b4_g4, down4 = build_kernel_maps_shared_input(g4, [(g4, 3), (g8, 3)])
     b4_g8 = build_kernel_map(g8, g8, 3)
