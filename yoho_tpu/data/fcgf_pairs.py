@@ -17,21 +17,11 @@ def mine_positive_pairs(
     pc0: np.ndarray, pc1: np.ndarray, dist: float, max_pairs: int, rng
 ) -> np.ndarray:
     """Indices (i, j) with |pc0[i] - pc1[j]| < dist (clouds aligned).
-    Subsamples pc0 for tractability."""
-    try:
-        from scipy.spatial import cKDTree
+    Subsamples pc0 for tractability; native C++ grid-hash NN."""
+    from yoho_tpu import native
 
-        sel = rng.choice(len(pc0), min(len(pc0), 4 * max_pairs), replace=False)
-        tree = cKDTree(pc1)
-        d, j = tree.query(pc0[sel], k=1)
-        ok = d < dist
-        pairs = np.stack([sel[ok], j[ok]], axis=1)
-    except ImportError:
-        sel = rng.choice(len(pc0), min(len(pc0), 2 * max_pairs), replace=False)
-        d = np.linalg.norm(pc0[sel][:, None, :] - pc1[None, :, :], axis=-1)
-        j = d.argmin(1)
-        ok = d[np.arange(len(sel)), j] < dist
-        pairs = np.stack([sel[ok], j[ok]], axis=1)
+    sel = rng.choice(len(pc0), min(len(pc0), 4 * max_pairs), replace=False)
+    pairs = native.mine_nn_pairs(pc0, sel.astype(np.int64), pc1, dist, 8 * max_pairs)
     if len(pairs) > max_pairs:
         pairs = pairs[rng.choice(len(pairs), max_pairs, replace=False)]
     return pairs.astype(np.int32)

@@ -91,7 +91,9 @@ def filter_keypoints_and_pairs(
                 dataset.root, "Keypoints", f"cloud_bin_{int(pc_id)}Keypoints.txt"
             )
             key_index = np.loadtxt(key_idx_fn).astype(np.int64)
-            sigma = local_pca_sigma(pc, keys)
+            from yoho_tpu import native
+
+            sigma = native.pca_sigma(pc, keys)
             ok = sigma > sigma_thresh
             np.save(os.path.join(keys_dir, f"{pc_id}_coor.npy"), keys[ok])
             np.save(idx_fn, key_index[ok])
@@ -104,9 +106,9 @@ def filter_keypoints_and_pairs(
             if len(k0) == 0 or len(k1) == 0:
                 np.save(fn, np.zeros((0, 2), np.int64))
                 continue
-            diff = np.linalg.norm(k0[:, None, :] - k1[None, :, :], axis=-1)
-            ii, jj = np.where(diff < pair_dist)
-            np.save(fn, np.stack([ii, jj], axis=1))
+            from yoho_tpu import native
+
+            np.save(fn, native.radius_pairs(k0, k1, pair_dist))
 
 
 def generate_rotated_features(

@@ -51,9 +51,10 @@ def host_prevoxelize(points: np.ndarray, voxel_size: float, max_points: int) -> 
     rotation (YOHO_testset.py:40); pre-voxelizing the unrotated cloud
     once and re-voxelizing its representatives per rotation yields the
     same voxel occupancy up to boundary ties and keeps device pads
-    static."""
-    vox = np.floor(points / voxel_size).astype(np.int64)
-    _, first = np.unique(vox, axis=0, return_index=True)
+    static. Uses the native C++ hash voxelizer when available."""
+    from yoho_tpu import native
+
+    first = native.prevoxelize_indices(np.asarray(points, np.float32), voxel_size)
     reps = points[np.sort(first)]
     if reps.shape[0] > max_points:
         sel = np.random.default_rng(0).choice(reps.shape[0], max_points, replace=False)
