@@ -142,3 +142,26 @@ def test_knn(rng):
     np.testing.assert_array_equal(idx, d.argmin(1))
     dk, ik = knn_search(jnp.asarray(q), jnp.asarray(base_pad), jnp.asarray(mask), k=3, chunk=32)
     np.testing.assert_array_equal(np.asarray(ik), np.argsort(d, axis=1)[:, :3])
+
+
+def test_conv_variants_agree(rng):
+    """All sparse_conv variants agree when the zero-row invariant holds
+    (feats zero on padding rows) — the model maintains that invariant."""
+    import jax.numpy as jnp
+
+    from yoho_tpu.ops.kernel_map import build_kernel_map
+    from yoho_tpu.ops.sparse_conv import sparse_conv
+    from yoho_tpu.ops.voxel import build_grid
+
+    cloud = rng.uniform(-1, 1, size=(500, 3)).astype(np.float32)
+    pts = jnp.zeros((1024, 3), jnp.float32).at[:500].set(jnp.asarray(cloud))
+    grid, _ = build_grid(pts, 0.1, 500)
+    kmap = build_kernel_map(grid, grid, 3)
+    n = grid.coords.shape[0]
+    mask = (np.arange(n) < int(grid.count)).astype(np.float32)
+    feats = (rng.normal(size=(n, 16)).astype(np.float32)) * mask[:, None]
+    w = rng.normal(size=(27, 16, 8)).astype(np.float32) * 0.1
+    ref = np.asarray(sparse_conv(jnp.asarray(feats), kmap, jnp.asarray(w), variant="im2col"))
+    for v in ("einsum", "einsum_nomask", "unrolled"):
+        out = np.asarray(sparse_conv(jnp.asarray(feats), kmap, jnp.asarray(w), variant=v))
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5, err_msg=v)

@@ -74,7 +74,14 @@ def test_batched_clouds_do_not_collide(rng):
     valid = jnp.concatenate([valid0, valid1], axis=0)
     grid, _ = unique_voxels(coords, valid)
     ref = _np_unique_voxels(cloud, 0.05)
-    assert int(grid.count) == 2 * len(ref)
+    # row out_size-1 is reserved as the zero pad row (kernel_map.py
+    # zero-row invariant), so a fully-unique input saturates at n-1
+    assert int(grid.count) == min(2 * len(ref), coords.shape[0] - 1)
+    # with headroom, nothing is dropped
+    coords_pad = jnp.concatenate([coords, coords[:8]], axis=0)
+    valid_pad = jnp.concatenate([valid, jnp.zeros(8, bool)], axis=0)
+    grid2, _ = unique_voxels(coords_pad, valid_pad)
+    assert int(grid2.count) == 2 * len(ref)
 
 
 def test_stride_grid_matches_numpy(rng):
@@ -241,9 +248,10 @@ def test_unique_out_size_saturation(rng):
     coords, valid = quantize(pts, 0.05, n)
     small, _ = jax.jit(lambda c, v: unique_voxels(c, v, out_size=256))(coords, valid)
     full, _ = jax.jit(lambda c, v: unique_voxels(c, v))(coords, valid)
-    assert int(small.count) == 256
+    # row 255 is the reserved zero pad row -> 255 usable voxels
+    assert int(small.count) == 255
     np.testing.assert_array_equal(
-        np.asarray(small.coords), np.asarray(full.coords)[:256]
+        np.asarray(small.coords)[:255], np.asarray(full.coords)[:255]
     )
 
 

@@ -18,6 +18,7 @@ from yoho_tpu.config import BackboneConfig, register
 from yoho_tpu.models.plan import UNetPlan
 from yoho_tpu.ops.kernel_map import KernelMap
 from yoho_tpu.ops.sparse_conv import batch_norm_apply, masked_mean_var, sparse_conv
+from yoho_tpu.utils.so3 import safe_l2_normalize
 
 
 class MaskedBatchNorm(nn.Module):
@@ -48,16 +49,26 @@ class MaskedBatchNorm(nn.Module):
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * var
         else:
             mean, var = ra_mean.value, ra_var.value
-        return batch_norm_apply(feats, mean, var, scale, offset, self.eps)
+        # Re-zero padding rows: BN's offset would otherwise leak onto
+        # them, breaking the zero-row invariant the maskless conv
+        # gathers rely on (see ops/kernel_map.py).
+        out = batch_norm_apply(feats, mean, var, scale, offset, self.eps)
+        return out * mask[:, None]
 
 
 class SparseConv(nn.Module):
-    """One sparse conv layer; kernel map supplied per call."""
+    """One sparse conv layer; kernel map supplied per call.
+
+    Defaults to the maskless 'unrolled' variant (fastest measured on
+    v5e: K monotone gathers + K MXU matmuls) — safe here because the
+    surrounding model maintains the zero-row invariant.
+    """
 
     in_features: int
     out_features: int
     kernel_volume: int  # K = kernel_size**3
     use_bias: bool = False
+    variant: str = "unrolled"
 
     @nn.compact
     def __call__(self, feats, kmap: KernelMap):
@@ -75,7 +86,7 @@ class SparseConv(nn.Module):
             else None
         )
         w3 = w.reshape(self.kernel_volume, self.in_features, self.out_features)
-        return sparse_conv(feats, kmap, w3, b)
+        return sparse_conv(feats, kmap, w3, b, variant=self.variant)
 
 
 class ResidualBlock(nn.Module):
@@ -110,6 +121,11 @@ class SparseResUNet(nn.Module):
         tr = c.tr_channels  # (64, 64, 64, 128)
         bm = c.bn_momentum
         K1 = c.conv1_kernel_size**3
+
+        # Zero-row invariant: every conv gathers padding rows (incl. the
+        # reserved zero row) for its invalid kernel-map entries; they
+        # must hold zeros on the way in. BN layers re-assert it.
+        feats = feats * plan.mask1[:, None]
 
         # ---- encoder ----
         out_s1 = SparseConv(c.in_channels, ch[0], K1)(feats, plan.conv1)
@@ -163,6 +179,6 @@ class SparseResUNet(nn.Module):
         out = nn.Dense(c.out_channels, use_bias=True, name="final")(out)
 
         if c.normalize_feature:
-            out = out / jnp.linalg.norm(out, axis=1, keepdims=True).clip(1e-12)
+            out = safe_l2_normalize(out, axis=1, eps=1e-6)
         # zero out padding rows so downstream gathers read clean data
         return out * plan.mask1[:, None]

@@ -20,6 +20,7 @@ import numpy as np
 from yoho_tpu.config import PartIConfig, register
 from yoho_tpu.group import get_group
 from yoho_tpu.ops.group_conv import comb_conv_apply
+from yoho_tpu.utils.so3 import safe_l2_normalize
 
 
 class CombConv(nn.Module):
@@ -87,8 +88,8 @@ class PartINetwork(nn.Module):
         eqv = x + feats  # reference: feats_eqv = SO3_Conv(feats) + feats
         inv = jnp.mean(eqv, axis=1)  # group mean
         # L2 normalize over channels (reference clamps the norm at 1e-4)
-        eqv = eqv / jnp.linalg.norm(eqv, axis=-1, keepdims=True).clip(1e-4)
-        inv = inv / jnp.linalg.norm(inv, axis=-1, keepdims=True).clip(1e-4)
+        eqv = safe_l2_normalize(eqv, axis=-1, eps=1e-4)
+        inv = safe_l2_normalize(inv, axis=-1, eps=1e-4)
         return {"inv": inv, "eqv": eqv}
 
 

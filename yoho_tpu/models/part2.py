@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from yoho_tpu.config import PartIIConfig, register
 from yoho_tpu.group import get_group
 from yoho_tpu.models.part1 import CombConv, ResidualCombConv
+from yoho_tpu.utils.so3 import safe_l2_normalize
 
 
 def align_by_index(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -86,5 +87,5 @@ class PartIINetwork(nn.Module):
         else:
             q = h[:, 0, :]
         if normalize:
-            q = q / jnp.linalg.norm(q, axis=-1, keepdims=True).clip(1e-12)
+            q = safe_l2_normalize(q, axis=-1, eps=1e-6)
         return q

@@ -58,6 +58,56 @@ def _mask(grid: SparseGrid) -> jnp.ndarray:
     return jnp.arange(grid.coords.shape[0]) < grid.count
 
 
+class LevelsPlan(NamedTuple):
+    """Generic stride-pyramid plan for the SimpleNet family
+    (reference ``fcgf_model/simpleunet.py``: conv1 -> L-1 stride-2 convs
+    -> L-1 transposed convs with skip cats -> k3 conv -> 1x1 final).
+
+    Tuple-typed fields keep this a plain pytree for any level count.
+    """
+
+    grids: tuple  # (L,) SparseGrid at strides 1, 2, ..., 2^(L-1)
+    masks: tuple  # (L,) bool (N_l,)
+    conv1: KernelMap  # g1 -> g1 at conv1_kernel_size
+    b1: KernelMap  # g1 -> g1 at kernel 3 (decoder's conv1_tr)
+    downs: tuple  # (L-1,) g_l -> g_{l+1} kernel-3 maps
+    ups: tuple  # (L-1,) transposed maps g_{l+1} -> g_l
+
+
+def build_levels_plan(
+    g1: SparseGrid, num_levels: int, conv1_kernel_size: int = 3
+) -> LevelsPlan:
+    """Build a SimpleNet-family plan with ``num_levels`` grids. Jittable."""
+    n1 = g1.coords.shape[0]
+    grids = [g1]
+    for lv in range(1, num_levels):
+        g, _ = stride_grid(grids[-1], 2, out_size=max(n1 >> lv, 1024))
+        grids.append(g)
+    downs = []
+    conv1 = None
+    for lv in range(num_levels - 1):
+        if lv == 0:
+            conv1, d = build_kernel_maps_shared_input(
+                grids[0], [(grids[0], conv1_kernel_size), (grids[1], 3)]
+            )
+        else:
+            d = build_kernel_map(grids[lv], grids[lv + 1], 3)
+        downs.append(d)
+    b1 = conv1 if conv1_kernel_size == 3 else subkernel_slice(conv1, conv1_kernel_size, 3)
+    ups = tuple(
+        transpose_kernel_map(downs[lv], grids[lv].coords.shape[0])
+        for lv in range(num_levels - 1)
+    )
+    return LevelsPlan(
+        grids=tuple(grids),
+        masks=tuple(_mask(g) for g in grids),
+        conv1=conv1,
+        b1=b1,
+        downs=tuple(downs),
+        ups=ups,
+    )
+
+
 def build_unet_plan(g1: SparseGrid, conv1_kernel_size: int = 3) -> UNetPlan:
     """Build the full plan from the stride-1 grid. Jittable.
 

@@ -98,17 +98,31 @@ def merge_join_search(
         & (hi_s != SENTINEL)
     )
     dest = jnp.where(tag_s < 0, q, tag_s)  # drop key rows
-    idx = jnp.zeros((q,), jnp.int32).at[dest].set(seg_c.astype(jnp.int32), mode="drop")
-    found = jnp.zeros((q,), jnp.bool_).at[dest].set(found_s, mode="drop")
+    # One packed scatter instead of two (scatters cost ~6x a gather per
+    # row on TPU): bit 30 = found, low bits = grid row (n < 2^30).
+    packed = (
+        jnp.zeros((q,), jnp.int32)
+        .at[dest]
+        .set(seg_c.astype(jnp.int32) | (found_s.astype(jnp.int32) << 30), mode="drop")
+    )
+    idx = packed & ((1 << 30) - 1)
+    found = packed >= (1 << 30)
     return idx, found
 
 
 class KernelMap(NamedTuple):
     """Gather map for one conv: in_idx[k, m] = input row feeding output
     row m through kernel offset k; valid[k, m] = that neighbor exists
-    AND m < out_count."""
+    AND m < out_count.
 
-    in_idx: jnp.ndarray  # int32 (K, M)
+    Zero-row invariant: invalid entries of ``in_idx`` point at the input
+    grid's reserved pad row (size-1, always padding per
+    ``unique_voxels``), so a gather through ``in_idx`` needs no mask as
+    long as the feature matrix is zero on that row (the FCGF model
+    maintains this; see ``sparse_conv.py``). ``valid`` remains for ops
+    with non-zero identities (max pool, averaging counts)."""
+
+    in_idx: jnp.ndarray  # int32 (K, M); invalid -> n_in - 1
     valid: jnp.ndarray  # bool (K, M)
 
 
@@ -140,12 +154,15 @@ def transpose_kernel_map(fwd: "KernelMap", n_fine: int) -> "KernelMap":
         K * n_fine,  # dropped
     ).reshape(-1)
     m_ids = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (K, M)).reshape(-1)
-    idx = (
-        jnp.zeros((K * n_fine,), jnp.int32).at[flat].set(m_ids, mode="drop")
+    # One packed scatter (bit 30 = valid); default decodes to the coarse
+    # grid's reserved zero row M-1 with valid=False.
+    packed = (
+        jnp.full((K * n_fine,), M - 1, jnp.int32)
+        .at[flat]
+        .set(m_ids | (1 << 30), mode="drop")
     ).reshape(K, n_fine)
-    valid = (
-        jnp.zeros((K * n_fine,), jnp.bool_).at[flat].set(fwd.valid.reshape(-1), mode="drop")
-    ).reshape(K, n_fine)
+    valid = packed >= (1 << 30)
+    idx = jnp.where(valid, packed & ((1 << 30) - 1), M - 1)
     return KernelMap(in_idx=idx, valid=valid)
 
 
@@ -166,6 +183,8 @@ def build_kernel_maps_shared_input(
     idx, found = merge_join_search(
         in_grid, jnp.concatenate(all_q_hi), jnp.concatenate(all_q_lo)
     )
+    n_in = in_grid.key_hi.shape[0]
+    idx = jnp.where(found, idx, n_in - 1)  # zero-row invariant
     out = []
     ofs = 0
     for K, m in sizes:
@@ -221,6 +240,8 @@ def build_kernel_map(
     q_hi, q_lo, K, m = _queries_for(in_grid, out_grid, kernel_size, transposed)
     search = merge_join_search if K * m >= 4 * in_grid.key_hi.shape[0] else search_keys
     idx, found = search(in_grid, q_hi, q_lo)
+    n_in = in_grid.key_hi.shape[0]
+    idx = jnp.where(found, idx, n_in - 1)  # zero-row invariant
     return KernelMap(
         in_idx=idx.reshape(K, m),
         valid=found.reshape(K, m),

@@ -22,12 +22,20 @@ import jax.numpy as jnp
 from yoho_tpu.ops.kernel_map import KernelMap
 
 
+import os
+
+# Env override takes precedence over per-call variants (experimentation
+# hook); the safe default for arbitrary callers is the masked im2col.
+_ENV_VARIANT = os.environ.get("YOHO_CONV_VARIANT")
+
+
 def sparse_conv(
     feats: jnp.ndarray,
     kmap: KernelMap,
     weights: jnp.ndarray,
     bias: jnp.ndarray | None = None,
     row_chunk: int = 4096,
+    variant: str | None = None,
 ) -> jnp.ndarray:
     """Apply a sparse convolution.
 
@@ -37,32 +45,60 @@ def sparse_conv(
       kmap: gather map (K, M) onto the output coordinate set.
       weights: (K, Cin, Cout).
       bias: optional (Cout,).
-      row_chunk: output rows per im2col tile. The (rows, K*Cin) im2col
-        buffer is the peak-memory term (e.g. 27*256 contraction at
-        M=32k would be ~900 MB un-chunked); chunking bounds it while
-        keeping the single big-contraction MXU matmul per tile.
+      row_chunk: output rows per im2col tile (im2col variant only).
+      variant: 'im2col' (gather -> (M, K*Cin) @ (K*Cin, Cout)),
+        'einsum' (gather -> kmc,kco->mo contraction, no relayout),
+        'einsum_bf16' (same with bfloat16 operands, f32 accumulation).
+        Default from $YOHO_CONV_VARIANT.
 
     Returns:
       (M, Cout) output features (padding rows = bias or 0).
     """
+    variant = _ENV_VARIANT or variant or "im2col"
     K, M = kmap.in_idx.shape
     Cin = feats.shape[1]
-    w2 = weights.reshape(K * Cin, -1)
 
-    def tile(args):
-        idx, valid = args  # (K, rc)
-        rc = idx.shape[1]
-        g = jnp.take(feats, idx.reshape(-1), axis=0).reshape(K, rc, Cin)
-        g = jnp.where(valid[:, :, None], g, 0.0)
-        return g.transpose(1, 0, 2).reshape(rc, K * Cin) @ w2
-
-    if M <= row_chunk or M % row_chunk != 0:
-        out = tile((kmap.in_idx, kmap.valid))
+    if variant == "unrolled":
+        # K per-offset gathers (each monotone over m -> page-friendly) +
+        # K small MXU matmuls, accumulated. No (K, M, Cin) intermediate,
+        # no relayout, NO gather-side mask: relies on the zero-row
+        # invariant (kernel_map.py) — feats must be zero on the input
+        # grid's reserved pad row.
+        out = jnp.zeros((M, weights.shape[2]), jnp.float32)
+        for k in range(K):
+            g = jnp.take(feats, kmap.in_idx[k], axis=0)
+            out = out + jnp.dot(g, weights[k], preferred_element_type=jnp.float32)
+    elif variant == "einsum_nomask":
+        g = jnp.take(feats, kmap.in_idx.reshape(-1), axis=0).reshape(K, M, Cin)
+        out = jnp.einsum(
+            "kmc,kco->mo", g, weights, preferred_element_type=jnp.float32
+        )
+    elif variant in ("einsum", "einsum_bf16"):
+        dt = jnp.bfloat16 if variant == "einsum_bf16" else feats.dtype
+        g = jnp.take(feats.astype(dt), kmap.in_idx.reshape(-1), axis=0)
+        g = g.reshape(K, M, Cin)
+        g = jnp.where(kmap.valid[:, :, None], g, jnp.zeros((), dt))
+        out = jnp.einsum(
+            "kmc,kco->mo", g, weights.astype(dt),
+            preferred_element_type=jnp.float32,
+        )
     else:
-        n_chunks = M // row_chunk
-        idx_t = kmap.in_idx.reshape(K, n_chunks, row_chunk).transpose(1, 0, 2)
-        val_t = kmap.valid.reshape(K, n_chunks, row_chunk).transpose(1, 0, 2)
-        out = jax.lax.map(tile, (idx_t, val_t)).reshape(M, -1)
+        w2 = weights.reshape(K * Cin, -1)
+
+        def tile(args):
+            idx, valid = args  # (K, rc)
+            rc = idx.shape[1]
+            g = jnp.take(feats, idx.reshape(-1), axis=0).reshape(K, rc, Cin)
+            g = jnp.where(valid[:, :, None], g, 0.0)
+            return g.transpose(1, 0, 2).reshape(rc, K * Cin) @ w2
+
+        if M <= row_chunk or M % row_chunk != 0:
+            out = tile((kmap.in_idx, kmap.valid))
+        else:
+            n_chunks = M // row_chunk
+            idx_t = kmap.in_idx.reshape(K, n_chunks, row_chunk).transpose(1, 0, 2)
+            val_t = kmap.valid.reshape(K, n_chunks, row_chunk).transpose(1, 0, 2)
+            out = jax.lax.map(tile, (idx_t, val_t)).reshape(M, -1)
     if bias is not None:
         out = out + bias[None, :]
     return out

@@ -77,6 +77,21 @@ def pack_keys(coords: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return hi.astype(jnp.int32), lo.astype(jnp.int32)
 
 
+def unpack_keys(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of ``pack_keys``: (hi, lo) -> (N, 4) int32 (b, x, y, z).
+
+    SENTINEL rows decode to garbage — callers must mask by count (all
+    coordinate consumers already do). Reconstructing coords from keys
+    lets ``unique_voxels`` skip a 4-column scatter (scatters cost ~6x a
+    gather per row on TPU).
+    """
+    b = hi >> 16
+    x = (hi & 0xFFFF) - _OFF_X
+    y = (lo >> 15) - _OFF_YZ
+    z = (lo & 0x7FFF) - _OFF_YZ
+    return jnp.stack([b, x, y, z], axis=1).astype(jnp.int32)
+
+
 def quantize(
     points: jnp.ndarray,
     voxel_size: float,
@@ -138,14 +153,18 @@ def unique_voxels(
         ]
     ) & is_valid_s
     # Position each first-occurrence row at its unique rank; scatter.
+    # Row m-1 is RESERVED as an always-padding "zero row": kernel maps
+    # point invalid entries at it so convolutions need no gather-side
+    # mask (the zero-row invariant; see sparse_conv.py). A grid is
+    # therefore capped at m-1 usable voxels.
     rank = jnp.cumsum(new_flag) - 1  # (n,) int; garbage where ~new_flag
-    dest = jnp.where(new_flag, rank, m)  # out-of-range drop for dups/pad
-    ucount = jnp.minimum(jnp.sum(new_flag), m).astype(jnp.int32)
+    dest = jnp.where(new_flag & (rank < m - 1), rank, m)  # drop dups/pad/overflow
+    ucount = jnp.minimum(jnp.sum(new_flag), m - 1).astype(jnp.int32)
 
-    out_coords = jnp.zeros((m, 4), dtype=jnp.int32).at[dest].set(coords_s, mode="drop")
     out_hi = jnp.full((m,), SENTINEL).at[dest].set(hi_s, mode="drop")
     out_lo = jnp.full((m,), SENTINEL).at[dest].set(lo_s, mode="drop")
     first_index = jnp.zeros((m,), dtype=jnp.int32).at[dest].set(src_s, mode="drop")
+    out_coords = unpack_keys(out_hi, out_lo)  # no scatter; masked by count
 
     grid = SparseGrid(
         coords=out_coords, key_hi=out_hi, key_lo=out_lo, count=ucount, stride=stride

@@ -15,6 +15,7 @@ import jax.nn as jnn
 
 from yoho_tpu.config import register
 from yoho_tpu.group import get_group
+from yoho_tpu.utils.so3 import safe_l2_normalize
 
 
 def dr_correlation(eqv_before: jnp.ndarray, eqv_after: jnp.ndarray) -> jnp.ndarray:
@@ -75,6 +76,6 @@ def l2_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 def quaternion_angular_error_deg(q_pred: jnp.ndarray, q_gt: jnp.ndarray) -> jnp.ndarray:
     """Validation metric (reference ``Validation_PartII.diff_cal``,
     loss_val.py:147-156): angle between unit quaternions, degrees."""
-    q = q_pred / jnp.linalg.norm(q_pred, axis=-1, keepdims=True).clip(1e-4)
+    q = safe_l2_normalize(q_pred, axis=-1, eps=1e-4)
     loss_q = jnp.clip(1.0 - jnp.sum(q * q_gt, axis=-1) ** 2, min=1e-7)
     return jnp.degrees(jnp.arccos(1 - 2 * loss_q))

@@ -16,6 +16,19 @@ import math
 import jax.numpy as jnp
 import numpy as np
 
+
+def safe_l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    """L2-normalize with a NaN-free gradient at x == 0.
+
+    ``norm(x).clip(eps)`` has a 0 * inf = NaN backward at exact zeros
+    (sqrt'(0) = inf meets clip's zero cotangent) — and exact-zero rows
+    are now guaranteed by the sparse engine's zero-row invariant.
+    ``sqrt(sum(x^2) + eps^2)`` keeps the forward value within fp32
+    rounding for any non-degenerate row and is smooth at zero.
+    """
+    sumsq = jnp.sum(jnp.square(x), axis=axis, keepdims=True)
+    return x / jnp.sqrt(sumsq + eps * eps)
+
 # --------------------------------------------------------------------------
 # numpy implementations (protocol-exact, used by eval + dataset tooling)
 # --------------------------------------------------------------------------
@@ -167,7 +180,7 @@ def jax_quaternion_from_matrix(R: jnp.ndarray) -> jnp.ndarray:
     q = jnp.take_along_axis(cands, best[..., None, None].astype(jnp.int32).repeat(4, -1), axis=-2)[
         ..., 0, :
     ]
-    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True).clip(1e-12)
+    q = safe_l2_normalize(q, axis=-1, eps=1e-6)
     sign = jnp.where(q[..., :1] < 0, -1.0, 1.0)
     return q * sign
 
