@@ -91,12 +91,23 @@ def merge_join_search(
     is_key = tag_s < 0
     seg = jnp.cumsum(is_key.astype(jnp.int32)) - 1  # latest key row <= here
     seg_c = jnp.clip(seg, 0, n - 1)
-    found_s = (
-        (seg >= 0)
-        & (grid.key_hi[seg_c] == hi_s)
-        & (grid.key_lo[seg_c] == lo_s)
-        & (hi_s != SENTINEL)
+    # Match detection WITHOUT validation gathers (row gathers cost
+    # ~10 ns each on TPU; these were the plan build's hottest ops):
+    # in the sorted merge, equal values form contiguous runs and the
+    # grid key (tag -1) sorts FIRST within its run, so a query matches
+    # iff the latest key position lies inside the query's equal-value
+    # run. Both "latest key position" and "run start" are running
+    # maxima — pure scans, no gathers.
+    pos = jnp.arange(n + q, dtype=jnp.int32)
+    eq_prev = jnp.concatenate(
+        [
+            jnp.zeros((1,), jnp.bool_),
+            (hi_s[1:] == hi_s[:-1]) & (lo_s[1:] == lo_s[:-1]),
+        ]
     )
+    run_start = jax.lax.cummax(jnp.where(eq_prev, -1, pos))
+    last_key_pos = jax.lax.cummax(jnp.where(is_key, pos, -1))
+    found_s = (last_key_pos >= run_start) & (hi_s != SENTINEL)
     dest = jnp.where(tag_s < 0, q, tag_s)  # drop key rows
     # One packed scatter instead of two (scatters cost ~6x a gather per
     # row on TPU): bit 30 = found, low bits = grid row (n < 2^30).
