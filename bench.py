@@ -78,14 +78,23 @@ def main():
 
     cloud1 = make_cloud()
     from yoho_tpu.group import get_group
+    from yoho_tpu.pipeline.runner import host_prevoxelize
 
     R = get_group().rotations[13].astype(np.float32)
     cloud0 = (cloud1 @ R.T).astype(np.float32)
     keys1 = cloud1[rng.choice(n_pts, kn, replace=False)]
     keys0 = (keys1 @ R.T).astype(np.float32)
 
+    # pre-voxelize + bucket like the production runner does
+    cloud0 = host_prevoxelize(cloud0, cfg.backbone.voxel_size, pad)
+    cloud1 = host_prevoxelize(cloud1, cfg.backbone.voxel_size, pad)
+    bucket = min(
+        cfg.pad.bucket_for(max(len(cloud0), len(cloud1))), pad
+    )
+    log(f"prevoxelized: {len(cloud0)}/{len(cloud1)} pts -> bucket {bucket}")
+
     def pad_pts(c):
-        out = np.zeros((pad, 3), np.float32)
+        out = np.zeros((bucket, 3), np.float32)
         out[: len(c)] = c
         return jnp.asarray(out)
 
@@ -103,12 +112,12 @@ def main():
     fcgf_apply = lambda v, f, p: model.apply(v, f, p, False)
 
     @jax.jit
-    def lift(points, keys):
+    def lift(points, n_valid, keys):
         return lift_group_features(
             fcgf_apply,
             fcgf_vars,
             points,
-            n_pts,
+            n_valid,
             keys,
             cfg.backbone.voxel_size,
             cfg.backbone.conv1_kernel_size,
@@ -138,11 +147,11 @@ def main():
     p0, p1_, k0j, k1j = pad_pts(cloud0), pad_pts(cloud1), jnp.asarray(keys0), jnp.asarray(keys1)
 
     t0 = time.time()
-    F0 = lift(p0, k0j)
+    F0 = lift(p0, len(cloud0), k0j)
     F0.block_until_ready()
     log(f"lift compile+run: {time.time()-t0:.1f}s")
     t0 = time.time()
-    F1 = lift(p1_, k1j)
+    F1 = lift(p1_, len(cloud1), k1j)
     F1.block_until_ready()
     t_lift = time.time() - t0
     log(f"lift steady: {t_lift:.2f}s")

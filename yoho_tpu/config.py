@@ -54,6 +54,18 @@ class PadConfig:
     max_voxels: int = 32768  # unique voxels at stride 1
     num_keypoints: int = 5000  # reference README.md:95
     max_matches: int = 5000  # mutual-NN output cap (<= num_keypoints)
+    # Static-shape ladder for per-cloud voxel budgets: the pipeline pads
+    # each pre-voxelized cloud to the smallest bucket that fits, so
+    # small clouds don't pay the 32k worst case (every sort/search/
+    # gather in the lift scales with the bucket). One compile per
+    # bucket, persistently cached.
+    voxel_buckets: tuple = (8192, 16384, 24576, 32768)
+
+    def bucket_for(self, n: int) -> int:
+        for b in self.voxel_buckets:
+            if n <= b:
+                return b
+        return self.voxel_buckets[-1]
 
 
 @dataclasses.dataclass

@@ -2,11 +2,19 @@
 
 Reference: ``YOHO_testset.py:109-168`` runs 60 independent FCGF forward
 passes per cloud through a torch DataLoader (the system's dominant
-wall-clock cost, SURVEY.md §3.1). Here the 60 rotations are a *mapped
-axis* of one jitted program: ``lax.map(..., batch_size=bg)`` vmaps
-``bg`` rotations at a time, so the MXU sees batched matmuls and the
-whole lift is one compile. The group axis is embarrassingly parallel
-and can be sharded across devices (see ``parallel/``).
+wall-clock cost, SURVEY.md §3.1). TPU-first design: ``bg`` rotated
+copies are packed into ONE batched sparse grid (batch coordinate =
+rotation id — the same batching trick the reference's collate_fn uses
+for clouds, ``YOHO_testset.py:69-107``), so each mini-batch is a single
+unbatched network invocation:
+
+* one sort deduplicates all bg rotations at once,
+* every conv gather runs on flat indices (the fast ~2.7 ns/row TPU
+  gather path — vmapped gathers measured ~4x slower),
+* MXU matmuls see bg x more rows.
+
+The 60/bg mini-batches run under ``lax.map``; the group axis remains
+embarrassingly parallel for multi-device sharding (see ``parallel/``).
 """
 
 from __future__ import annotations
@@ -19,7 +27,7 @@ import jax.numpy as jnp
 from yoho_tpu.group import get_group
 from yoho_tpu.models.plan import build_unet_plan
 from yoho_tpu.ops.knn import nn_search
-from yoho_tpu.ops.voxel import build_grid
+from yoho_tpu.ops.voxel import unique_voxels
 
 
 def lift_group_features(
@@ -32,6 +40,7 @@ def lift_group_features(
     conv1_kernel_size: int = 7,
     rotations_per_batch: int = 4,
     knn_chunk: int = 1024,
+    max_voxels: int | None = None,
 ) -> jnp.ndarray:
     """Lift one cloud to (num_keypoints, 60, 32) FCGF group features.
 
@@ -45,29 +54,61 @@ def lift_group_features(
     selected voxel representative points to the rotated keypoints.
     """
     Rgroup = jnp.asarray(get_group().rotations, jnp.float32)
+    n_pad = points.shape[0]
     kn = keypoints.shape[0]
     pad_kn = (-kn) % knn_chunk
+    bg = rotations_per_batch
+    assert 60 % bg == 0, "rotations_per_batch must divide 60"
+    # Static voxel budget per rotation: every sort/search/gather in the
+    # plan and network scales with it, so callers that pre-voxelize on
+    # the host should pick the smallest bucket >= the true voxel count
+    # (voxels saturating the budget are dropped, highest keys first).
+    nv = max_voxels or n_pad
 
-    def one_rotation(R):
-        pts = points @ R.T
-        grid, first = build_grid(pts, voxel_size, num_points)
+    def one_batch(Rb):  # (bg, 3, 3) -> (bg, kn, C)
+        pts = jnp.einsum("nd,gkd->gnk", points, Rb)  # (bg, n_pad, 3)
+        flat_pts = pts.reshape(bg * n_pad, 3)
+        xyz = jnp.floor(flat_pts / voxel_size).astype(jnp.int32)
+        bidx = jnp.repeat(jnp.arange(bg, dtype=jnp.int32), n_pad)
+        coords = jnp.concatenate([bidx[:, None], xyz], axis=1)
+        valid = jnp.tile(jnp.arange(n_pad) < num_points, bg)
+        grid, first = unique_voxels(coords, valid, out_size=bg * nv)
         plan = build_unet_plan(grid, conv1_kernel_size)
-        feats_in = jnp.ones((points.shape[0], 1), points.dtype)
-        f = fcgf_apply(fcgf_variables, feats_in, plan)  # (N_pad, 32)
+        feats_in = jnp.ones((bg * nv, 1), points.dtype)
+        f = fcgf_apply(fcgf_variables, feats_in, plan)  # (bg*n_pad, C)
+
+        # Rows of rotation g are contiguous in the sorted grid:
+        # [starts[g], starts[g] + counts[g]). Compact each rotation's
+        # voxel representative points for the per-rotation 1-NN.
+        batch_of = jnp.where(plan.mask1, grid.coords[:, 0], bg)
+        counts = jnp.sum(
+            batch_of[None, :] == jnp.arange(bg)[:, None], axis=1
+        ).astype(jnp.int32)
+        starts = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+        )
+        j = jnp.arange(nv)
+        ok = j[None, :] < counts[:, None]  # (bg, nv)
+        row = jnp.where(ok, starts[:, None] + j[None, :], bg * nv - 1)
         # representative point of each voxel = first-occurrence original
         # point (reference keeps the selected point, not the voxel
         # center: ``dsxyz_batch0``, YOHO_testset.py:87,151)
-        vox_pts = pts[first]
-        keys_r = keypoints @ R.T
+        vox_pts = flat_pts[first]  # (bg*nv, 3)
+        vox_b = vox_pts[row.reshape(-1)].reshape(bg, nv, 3)
+
+        keys_r = jnp.einsum("kd,gid->gki", keypoints, Rb)  # (bg, kn, 3)
         if pad_kn:
             keys_r = jnp.concatenate(
-                [keys_r, jnp.zeros((pad_kn, 3), keys_r.dtype)], axis=0
+                [keys_r, jnp.zeros((bg, pad_kn, 3), keys_r.dtype)], axis=1
             )
-        idx = nn_search(keys_r, vox_pts, plan.mask1, chunk=knn_chunk)[:kn]
-        return f[idx]  # (Kn, 32)
+        idx = jax.vmap(lambda q, base, m: nn_search(q, base, m, chunk=knn_chunk))(
+            keys_r, vox_b, ok
+        )[:, :kn]
+        flat_idx = starts[:, None] + idx  # rows into f
+        return f[flat_idx.reshape(-1)].reshape(bg, kn, -1)
 
-    out = jax.lax.map(one_rotation, Rgroup, batch_size=rotations_per_batch)
-    return out.transpose(1, 0, 2)  # (Kn, 60, 32)
+    out = jax.lax.map(one_batch, Rgroup.reshape(60 // bg, bg, 3, 3))
+    return out.reshape(60, kn, -1).transpose(1, 0, 2)  # (Kn, 60, C)
 
 
 def make_lift_fn(model, voxel_size, conv1_kernel_size, rotations_per_batch=4):

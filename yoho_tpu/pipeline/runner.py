@@ -89,18 +89,28 @@ class PipelineRunner:
 
         fcgf_apply = lambda v, f, p: fcgf.apply(v, f, p, False)
 
-        @jax.jit
-        def lift(points, n_valid, keys):
-            return lift_group_features(
-                fcgf_apply,
-                fcgf_vars,
-                points,
-                n_valid,
-                keys,
-                cfg.backbone.voxel_size,
-                cfg.backbone.conv1_kernel_size,
-                rotations_per_batch=4,
-            )
+        lift_cache = {}
+
+        def lift_for_bucket(bucket: int):
+            """One jitted lift per voxel bucket (points padded to the
+            bucket, so every sort/gather scales with actual cloud size)."""
+            if bucket not in lift_cache:
+
+                @jax.jit
+                def lift(points, n_valid, keys):
+                    return lift_group_features(
+                        fcgf_apply,
+                        fcgf_vars,
+                        points,
+                        n_valid,
+                        keys,
+                        cfg.backbone.voxel_size,
+                        cfg.backbone.conv1_kernel_size,
+                        rotations_per_batch=4,
+                    )
+
+                lift_cache[bucket] = lift
+            return lift_cache[bucket]
 
         @jax.jit
         def part1_desc(F):
@@ -146,7 +156,7 @@ class PipelineRunner:
         from yoho_tpu.group import get_group
 
         self._Rgroup = get_group().rotations.astype(np.float32)
-        self.lift = lift
+        self.lift_for_bucket = lift_for_bucket
         self.part1_desc = part1_desc
         self.match_and_dr = match_and_dr
         self.ransac_c = ransac_c
@@ -158,10 +168,13 @@ class PipelineRunner:
     # ---------------- stage drivers (idempotent, cached) ----------------
 
     def _pad_points(self, pts: np.ndarray):
-        out = np.zeros((self.pad, 3), np.float32)
-        n = min(len(pts), self.pad)
+        """Pad to the smallest voxel bucket that fits (pts are already
+        pre-voxelized, so #voxels per rotation <= #pts <= bucket)."""
+        bucket = min(self.cfg.pad.bucket_for(len(pts)), self.pad)
+        out = np.zeros((bucket, 3), np.float32)
+        n = min(len(pts), bucket)
         out[:n] = pts[:n]
-        return self.jnp.asarray(out), n
+        return self.jnp.asarray(out), n, bucket
 
     def extract_group_features(self, dataset, cache_dir: str) -> None:
         """Stage 1+2: FCGF group lifting + PartI descriptors per cloud."""
@@ -182,8 +195,9 @@ class PipelineRunner:
                     self.pad,
                 )
                 keys = dataset.get_kps(pc_id).astype(np.float32)
-                pts_j, n = self._pad_points(pts)
-                F = np.asarray(self.lift(pts_j, n, self.jnp.asarray(keys)))
+                pts_j, n, bucket = self._pad_points(pts)
+                lift = self.lift_for_bucket(bucket)
+                F = np.asarray(lift(pts_j, n, self.jnp.asarray(keys)))
                 np.save(lift_fn, F)
             eqv, _ = self.part1_desc(self.jnp.asarray(F))
             np.save(yoho_fn, np.asarray(eqv))
