@@ -44,6 +44,13 @@ class BackboneConfig:
     bn_momentum: float = 0.05  # reference YOHO_testset.py:126
     voxel_size: float = 0.025  # 3DMatch (README.md:150); ETH 0.15, WHU-TLS 0.8
     dtype: str = "float32"
+    # Norm placement mirrors the reference variant tables
+    # (``fcgf_model/resunet.py:196-246``): norm_type after plain convs
+    # ('BN' | 'IN' | 'none'), block_norm_type inside residual blocks.
+    norm_type: str = "BN"
+    block_norm_type: str = "BN"
+    # static bound on batch indices for instance norm's segment sums
+    max_instances: int = 64
 
 
 @dataclasses.dataclass

@@ -12,6 +12,7 @@ norm, so the whole network is one statically-shaped jitted program.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from yoho_tpu.config import BackboneConfig, register
@@ -56,6 +57,59 @@ class MaskedBatchNorm(nn.Module):
         return out * mask[:, None]
 
 
+class MaskedInstanceNorm(nn.Module):
+    """Instance norm on sparse rows: per-(batch-instance, channel)
+    statistics via segment sums over the batch coordinate (the TPU
+    analog of ME's MinkowskiInstanceNorm, which normalizes per batch
+    item via global pooling + broadcast)."""
+
+    features: int
+    num_instances: int = 64
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, feats, batch_ids, mask, train: bool):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        offset = self.param("bias", nn.initializers.zeros, (self.features,))
+        nb = self.num_instances
+        b = jnp.where(mask, batch_ids, nb).astype(jnp.int32)
+        fm = jnp.where(mask[:, None], feats, 0.0)
+        ssum = jnp.zeros((nb + 1, self.features), feats.dtype).at[b].add(fm)
+        s2um = jnp.zeros((nb + 1, self.features), feats.dtype).at[b].add(fm * fm)
+        cnt = jnp.zeros((nb + 1,), feats.dtype).at[b].add(mask.astype(feats.dtype))
+        denom = jnp.maximum(cnt, 1.0)[:, None]
+        mean = ssum / denom
+        var = jnp.maximum(s2um / denom - mean * mean, 0.0)
+        mu = mean[jnp.clip(b, 0, nb - 1)]
+        v = var[jnp.clip(b, 0, nb - 1)]
+        out = (feats - mu) * jax.lax.rsqrt(v + self.eps) * scale[None, :] + offset[None, :]
+        return out * mask[:, None]
+
+
+def apply_norm(
+    norm_type: str,
+    features: int,
+    bn_momentum: float,
+    max_instances: int,
+    feats,
+    grid,
+    mask,
+    train: bool,
+):
+    """Reference ``get_norm`` dispatch (``fcgf_model/common.py:4-10``),
+    plus 'none' for the norm-free base variants. Must be called inside
+    an ``nn.compact`` scope."""
+    if norm_type in (None, "none", "None"):
+        return feats * mask[:, None]
+    if norm_type == "BN":
+        return MaskedBatchNorm(features, bn_momentum)(feats, mask, train)
+    if norm_type == "IN":
+        return MaskedInstanceNorm(features, max_instances)(
+            feats, grid.coords[:, 0], mask, train
+        )
+    raise ValueError(f"unknown norm type {norm_type!r}")
+
+
 class SparseConv(nn.Module):
     """One sparse conv layer; kernel map supplied per call.
 
@@ -90,20 +144,25 @@ class SparseConv(nn.Module):
 
 
 class ResidualBlock(nn.Module):
-    """conv3->BN->relu->conv3->BN (+x) ->relu, post-norm
+    """conv3->norm->relu->conv3->norm (+x) ->relu, post-norm
     (reference ``residual_block.py:37-53``); in==out channels here
-    (FCGF never uses a downsample branch in its blocks)."""
+    (FCGF never uses a downsample branch in its blocks). norm_type
+    mirrors BLOCK_NORM_TYPE ('BN' everywhere except the IN2 variants)."""
 
     features: int
     bn_momentum: float
+    norm_type: str = "BN"
+    max_instances: int = 64
 
     @nn.compact
-    def __call__(self, feats, kmap, mask, train: bool):
+    def __call__(self, feats, kmap, grid, mask, train: bool):
         out = SparseConv(self.features, self.features, 27)(feats, kmap)
-        out = MaskedBatchNorm(self.features, self.bn_momentum)(out, mask, train)
+        out = apply_norm(self.norm_type, self.features, self.bn_momentum,
+                         self.max_instances, out, grid, mask, train)
         out = nn.relu(out)
         out = SparseConv(self.features, self.features, 27)(out, kmap)
-        out = MaskedBatchNorm(self.features, self.bn_momentum)(out, mask, train)
+        out = apply_norm(self.norm_type, self.features, self.bn_momentum,
+                         self.max_instances, out, grid, mask, train)
         return nn.relu(out + feats)
 
 
@@ -132,44 +191,44 @@ class SparseResUNet(nn.Module):
         if c.first_layer_double:
             # second 3^3 conv reusing the block map: receptive field 5
             # at zero extra kernel-map cost (see BackboneConfig).
-            out_s1 = MaskedBatchNorm(ch[0], bm)(out_s1, plan.mask1, train)
+            out_s1 = apply_norm(c.norm_type, ch[0], bm, c.max_instances, out_s1, plan.g1, plan.mask1, train)
             out_s1 = nn.relu(out_s1)
             out_s1 = SparseConv(ch[0], ch[0], 27)(out_s1, plan.b1)
-        out_s1 = MaskedBatchNorm(ch[0], bm)(out_s1, plan.mask1, train)
-        out_s1 = ResidualBlock(ch[0], bm)(out_s1, plan.b1, plan.mask1, train)
+        out_s1 = apply_norm(c.norm_type, ch[0], bm, c.max_instances, out_s1, plan.g1, plan.mask1, train)
+        out_s1 = ResidualBlock(ch[0], bm, c.block_norm_type, c.max_instances)(out_s1, plan.b1, plan.g1, plan.mask1, train)
         out = nn.relu(out_s1)
 
         out_s2 = SparseConv(ch[0], ch[1], 27)(out, plan.down2)
-        out_s2 = MaskedBatchNorm(ch[1], bm)(out_s2, plan.mask2, train)
-        out_s2 = ResidualBlock(ch[1], bm)(out_s2, plan.b2, plan.mask2, train)
+        out_s2 = apply_norm(c.norm_type, ch[1], bm, c.max_instances, out_s2, plan.g2, plan.mask2, train)
+        out_s2 = ResidualBlock(ch[1], bm, c.block_norm_type, c.max_instances)(out_s2, plan.b2, plan.g2, plan.mask2, train)
         out = nn.relu(out_s2)
 
         out_s4 = SparseConv(ch[1], ch[2], 27)(out, plan.down3)
-        out_s4 = MaskedBatchNorm(ch[2], bm)(out_s4, plan.mask4, train)
-        out_s4 = ResidualBlock(ch[2], bm)(out_s4, plan.b4_g4, plan.mask4, train)
+        out_s4 = apply_norm(c.norm_type, ch[2], bm, c.max_instances, out_s4, plan.g4, plan.mask4, train)
+        out_s4 = ResidualBlock(ch[2], bm, c.block_norm_type, c.max_instances)(out_s4, plan.b4_g4, plan.g4, plan.mask4, train)
         out = nn.relu(out_s4)
 
         out_s8 = SparseConv(ch[2], ch[3], 27)(out, plan.down4)
-        out_s8 = MaskedBatchNorm(ch[3], bm)(out_s8, plan.mask8, train)
-        out_s8 = ResidualBlock(ch[3], bm)(out_s8, plan.b4_g8, plan.mask8, train)
+        out_s8 = apply_norm(c.norm_type, ch[3], bm, c.max_instances, out_s8, plan.g8, plan.mask8, train)
+        out_s8 = ResidualBlock(ch[3], bm, c.block_norm_type, c.max_instances)(out_s8, plan.b4_g8, plan.g8, plan.mask8, train)
         out = nn.relu(out_s8)
 
         # ---- decoder ----
         out = SparseConv(ch[3], tr[3], 27)(out, plan.up4)
-        out = MaskedBatchNorm(tr[3], bm)(out, plan.mask4, train)
-        out = ResidualBlock(tr[3], bm)(out, plan.b4_g4, plan.mask4, train)
+        out = apply_norm(c.norm_type, tr[3], bm, c.max_instances, out, plan.g4, plan.mask4, train)
+        out = ResidualBlock(tr[3], bm, c.block_norm_type, c.max_instances)(out, plan.b4_g4, plan.g4, plan.mask4, train)
         out = nn.relu(out)
 
         out = jnp.concatenate([out, out_s4], axis=1)
         out = SparseConv(ch[2] + tr[3], tr[2], 27)(out, plan.up3)
-        out = MaskedBatchNorm(tr[2], bm)(out, plan.mask2, train)
-        out = ResidualBlock(tr[2], bm)(out, plan.b2, plan.mask2, train)
+        out = apply_norm(c.norm_type, tr[2], bm, c.max_instances, out, plan.g2, plan.mask2, train)
+        out = ResidualBlock(tr[2], bm, c.block_norm_type, c.max_instances)(out, plan.b2, plan.g2, plan.mask2, train)
         out = nn.relu(out)
 
         out = jnp.concatenate([out, out_s2], axis=1)
         out = SparseConv(ch[1] + tr[2], tr[1], 27)(out, plan.up2)
-        out = MaskedBatchNorm(tr[1], bm)(out, plan.mask1, train)
-        out = ResidualBlock(tr[1], bm)(out, plan.b1, plan.mask1, train)
+        out = apply_norm(c.norm_type, tr[1], bm, c.max_instances, out, plan.g1, plan.mask1, train)
+        out = ResidualBlock(tr[1], bm, c.block_norm_type, c.max_instances)(out, plan.b1, plan.g1, plan.mask1, train)
         out = nn.relu(out)
 
         out = jnp.concatenate([out, out_s1], axis=1)

@@ -363,21 +363,29 @@ class PipelineRunner:
     ) -> Dict:
         """Full protocol: per-scene pipeline + FMR, then RR
         (reference Evaluator_PartI/II.eval)."""
+        from yoho_tpu.utils.observability import StageTimer
+
         cfg = self.cfg
         FMRS, all_pair_fmrs = [], []
         t0 = time.time()
+        timer = StageTimer()
         for scene, dataset in datasets.items():
             if scene == "wholesetname":
                 continue
             if not dataset.name.startswith("3dLomatch"):
-                self.extract_group_features(dataset, cache_dir)
-            self.match_scene(dataset, cache_dir)
+                with timer("extract"):
+                    self.extract_group_features(dataset, cache_dir)
+            with timer("match"):
+                self.match_scene(dataset, cache_dir)
             if with_part2:
-                self.extract_part2_poses(dataset, cache_dir)
-            self.estimate_scene(dataset, cache_dir, estimator)
-            fmr, pair_fmrs = self.feature_match_recall(
-                dataset, cache_dir, cfg.ransac.fmr_ratio, cfg.ransac.ok_match_dist_threshold
-            )
+                with timer("part2"):
+                    self.extract_part2_poses(dataset, cache_dir)
+            with timer("ransac"):
+                self.estimate_scene(dataset, cache_dir, estimator)
+            with timer("fmr"):
+                fmr, pair_fmrs = self.feature_match_recall(
+                    dataset, cache_dir, cfg.ransac.fmr_ratio, cfg.ransac.ok_match_dist_threshold
+                )
             FMRS.append(fmr)
             all_pair_fmrs.append(pair_fmrs)
         sign = "YOHO_C" if estimator == "yoho_c" else "YOHO_O"
@@ -393,6 +401,7 @@ class PipelineRunner:
             "inlier_ratio": float(np.mean(np.concatenate(all_pair_fmrs))),
             "registration_recall": mean_rr,
             "wall_s": time.time() - t0,
+            "stage_times": timer.report(),
         }
         _ensure(os.path.join(cache_dir))
         with open(os.path.join(cache_dir, "results.log"), "a") as f:
