@@ -108,16 +108,15 @@ def merge_join_search(
     run_start = jax.lax.cummax(jnp.where(eq_prev, -1, pos))
     last_key_pos = jax.lax.cummax(jnp.where(is_key, pos, -1))
     found_s = (last_key_pos >= run_start) & (hi_s != SENTINEL)
-    dest = jnp.where(tag_s < 0, q, tag_s)  # drop key rows
-    # One packed scatter instead of two (scatters cost ~6x a gather per
-    # row on TPU): bit 30 = found, low bits = grid row (n < 2^30).
-    packed = (
-        jnp.zeros((q,), jnp.int32)
-        .at[dest]
-        .set(seg_c.astype(jnp.int32) | (found_s.astype(jnp.int32) << 30), mode="drop")
-    )
-    idx = packed & ((1 << 30) - 1)
-    found = packed >= (1 << 30)
+    # Restore query order by sorting (tag, payload) — key rows (tag -1)
+    # sort to the front and are sliced off. A 2-array sort of n+q beats
+    # a q-row scatter (~2.6 ns/elem vs ~4.7 ns/row measured on v5e).
+    # Payload packs (found, grid row): bit 30 = found, low bits = row.
+    packed = seg_c.astype(jnp.int32) | (found_s.astype(jnp.int32) << 30)
+    _, payload = jax.lax.sort((tag_s, packed), num_keys=1)
+    payload = payload[n:]
+    idx = payload & ((1 << 30) - 1)
+    found = payload >= (1 << 30)
     return idx, found
 
 
