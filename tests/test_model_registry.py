@@ -49,7 +49,13 @@ def test_variant_forward(name, rng):
     feats = jnp.ones((pad, 1), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), feats, plan, False)
     out = model.apply(variables, feats, plan, False)
-    assert out.shape == (pad, 32)
+    # SimpleNet3 family ends in a 1x1 conv to tr_channels[1] (reference
+    # simpleunet.py:446-453) — its output dim is NOT out_channels.
+    from yoho_tpu.models.simpleunet import SIMPLENET_VARIANTS
+
+    spec = SIMPLENET_VARIANTS.get(name, {})
+    exp = spec["tr_channels"][0] if spec.get("tail_style") == "dense1x1" else 32
+    assert out.shape == (pad, exp)
     assert bool(jnp.isfinite(out).all())
     # padding rows stay zero (zero-row invariant)
     n_valid = int(grid.count)

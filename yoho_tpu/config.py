@@ -69,8 +69,12 @@ class PadConfig:
     voxel_buckets: tuple = (8192, 16384, 24576, 32768)
 
     def bucket_for(self, n: int) -> int:
+        # Strictly greater: row bucket-1 of every grid is the reserved
+        # always-padding "zero row" (ops/voxel.py), so usable capacity
+        # is bucket-1 voxels; a cloud that exactly fills a bucket must
+        # take the next one or it would silently drop one voxel.
         for b in self.voxel_buckets:
-            if n <= b:
+            if n < b:
                 return b
         return self.voxel_buckets[-1]
 

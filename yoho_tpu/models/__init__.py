@@ -83,6 +83,7 @@ def load_model(name: str, base_cfg=None) -> Tuple[object, Callable]:
             bn_momentum=cfg.bn_momentum,
             normalize_feature=cfg.normalize_feature,
             max_instances=cfg.max_instances,
+            tail_style=spec.get("tail_style", "head"),
         )
         L = len(spec["channels"])
 

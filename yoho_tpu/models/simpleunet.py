@@ -4,7 +4,16 @@ Registry-complete TPU equivalents of the reference's alternative
 backbones (``/root/reference/fcgf_model/simpleunet.py:8-541``):
 conv1 -> (L-1) stride-2 convs -> (L-1) transposed convs with skip
 concatenation (pre-relu skips, matching the reference forward at
-``simpleunet.py:97-133``) -> kernel-3 conv -> 1x1 biased head, with
+``simpleunet.py:97-133``), then a family-specific tail:
+
+* SimpleNet/SimpleNet2 (``tail_style='head'``): kernel-3 conv1_tr ->
+  norm -> relu -> 1x1 biased head to ``out_channels``
+  (reference ``simpleunet.py:79-96,119-126``);
+* SimpleNet3 (``tail_style='dense1x1'``): a single 1x1 biased conv to
+  ``tr_channels[0]`` — no norm, no relu, no final head, and the output
+  dim is ``tr_channels[0]``, NOT ``out_channels``
+  (reference ``simpleunet.py:446-453,496-501``).
+
 None/BN/IN norms. Runs on a generic ``LevelsPlan`` (``models/plan.py``).
 """
 
@@ -31,6 +40,7 @@ class SimpleUNet(nn.Module):
     bn_momentum: float = 0.05
     normalize_feature: bool = False
     max_instances: int = 64
+    tail_style: str = "head"  # 'head' (SimpleNet/2) | 'dense1x1' (SimpleNet3)
 
     @property
     def num_levels(self) -> int:
@@ -74,11 +84,16 @@ class SimpleUNet(nn.Module):
             out = nn.relu(out)
             out = jnp.concatenate([out, skips[lv - 1]], axis=1)
 
-        # conv1_tr: kernel-3 stride-1 conv on the full-res grid
-        out = SparseConv(ch[0] + tr[1], tr[0], 27)(out, plan.b1)
-        out = norm(tr[0], out, 0)
-        out = nn.relu(out)
-        out = nn.Dense(self.out_channels, use_bias=True, name="final")(out)
+        if self.tail_style == "dense1x1":
+            # SimpleNet3 family: one 1x1 biased conv to tr[0]; no norm,
+            # no relu, no final head (reference simpleunet.py:496-501).
+            out = nn.Dense(tr[0], use_bias=True, name="conv1_tr")(out)
+        else:
+            # conv1_tr: kernel-3 stride-1 conv on the full-res grid
+            out = SparseConv(ch[0] + tr[1], tr[0], 27)(out, plan.b1)
+            out = norm(tr[0], out, 0)
+            out = nn.relu(out)
+            out = nn.Dense(self.out_channels, use_bias=True, name="final")(out)
 
         if self.normalize_feature:
             out = safe_l2_normalize(out, axis=1, eps=1e-6)
@@ -101,12 +116,12 @@ SIMPLENET_VARIANTS = {
     "SimpleNetBN2D": dict(channels=(32, 64, 128, 256), tr_channels=(32, 64, 64, 128), norm_type="BN"),
     "SimpleNetBN2E": dict(channels=(16, 32, 64, 128), tr_channels=(16, 32, 32, 64), norm_type="BN"),
     "SimpleNetIN2E": dict(channels=(16, 32, 64, 128), tr_channels=(16, 32, 32, 64), norm_type="IN"),
-    "SimpleNet3": dict(channels=(32, 64, 128, 256, 512), tr_channels=(32, 32, 64, 64, 128), norm_type="none"),
-    "SimpleNetIN3": dict(channels=(32, 64, 128, 256, 512), tr_channels=(32, 32, 64, 64, 128), norm_type="IN"),
-    "SimpleNetBN3": dict(channels=(32, 64, 128, 256, 512), tr_channels=(32, 32, 64, 64, 128), norm_type="BN"),
-    "SimpleNetBN3B": dict(channels=(32, 64, 128, 256, 512), tr_channels=(32, 64, 64, 64, 128), norm_type="BN"),
-    "SimpleNetBN3C": dict(channels=(32, 64, 128, 256, 512), tr_channels=(32, 32, 64, 128, 128), norm_type="BN"),
-    "SimpleNetBN3D": dict(channels=(32, 64, 128, 256, 512), tr_channels=(32, 64, 64, 128, 128), norm_type="BN"),
-    "SimpleNetBN3E": dict(channels=(16, 32, 64, 128, 256), tr_channels=(16, 32, 32, 64, 128), norm_type="BN"),
-    "SimpleNetIN3E": dict(channels=(16, 32, 64, 128, 256), tr_channels=(16, 32, 32, 64, 128), norm_type="IN"),
+    "SimpleNet3": dict(channels=(32, 64, 128, 256, 512), tr_channels=(32, 32, 64, 64, 128), norm_type="none", tail_style="dense1x1"),
+    "SimpleNetIN3": dict(channels=(32, 64, 128, 256, 512), tr_channels=(32, 32, 64, 64, 128), norm_type="IN", tail_style="dense1x1"),
+    "SimpleNetBN3": dict(channels=(32, 64, 128, 256, 512), tr_channels=(32, 32, 64, 64, 128), norm_type="BN", tail_style="dense1x1"),
+    "SimpleNetBN3B": dict(channels=(32, 64, 128, 256, 512), tr_channels=(32, 64, 64, 64, 128), norm_type="BN", tail_style="dense1x1"),
+    "SimpleNetBN3C": dict(channels=(32, 64, 128, 256, 512), tr_channels=(32, 32, 64, 128, 128), norm_type="BN", tail_style="dense1x1"),
+    "SimpleNetBN3D": dict(channels=(32, 64, 128, 256, 512), tr_channels=(32, 64, 64, 128, 128), norm_type="BN", tail_style="dense1x1"),
+    "SimpleNetBN3E": dict(channels=(16, 32, 64, 128, 256), tr_channels=(16, 32, 32, 64, 128), norm_type="BN", tail_style="dense1x1"),
+    "SimpleNetIN3E": dict(channels=(16, 32, 64, 128, 256), tr_channels=(16, 32, 32, 64, 128), norm_type="IN", tail_style="dense1x1"),
 }

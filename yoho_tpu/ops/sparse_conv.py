@@ -24,10 +24,6 @@ from yoho_tpu.ops.kernel_map import KernelMap
 
 import os
 
-# Env override takes precedence over per-call variants (experimentation
-# hook); the safe default for arbitrary callers is the masked im2col.
-_ENV_VARIANT = os.environ.get("YOHO_CONV_VARIANT")
-
 
 def sparse_conv(
     feats: jnp.ndarray,
@@ -49,12 +45,13 @@ def sparse_conv(
       variant: 'im2col' (gather -> (M, K*Cin) @ (K*Cin, Cout)),
         'einsum' (gather -> kmc,kco->mo contraction, no relayout),
         'einsum_bf16' (same with bfloat16 operands, f32 accumulation).
-        Default from $YOHO_CONV_VARIANT.
+        An explicit per-call variant always wins; $YOHO_CONV_VARIANT
+        (read per call, not at import) only fills in the default.
 
     Returns:
       (M, Cout) output features (padding rows = bias or 0).
     """
-    variant = _ENV_VARIANT or variant or "im2col"
+    variant = variant or os.environ.get("YOHO_CONV_VARIANT") or "im2col"
     K, M = kmap.in_idx.shape
     Cin = feats.shape[1]
 

@@ -75,7 +75,7 @@ def lift_group_features(
         grid, first = unique_voxels(coords, valid, out_size=bg * nv)
         plan = build_unet_plan(grid, conv1_kernel_size)
         feats_in = jnp.ones((bg * nv, 1), points.dtype)
-        f = fcgf_apply(fcgf_variables, feats_in, plan)  # (bg*n_pad, C)
+        f = fcgf_apply(fcgf_variables, feats_in, plan)  # (bg*nv, C)
 
         # Rows of rotation g are contiguous in the sorted grid:
         # [starts[g], starts[g] + counts[g]). Compact each rotation's

@@ -56,8 +56,12 @@ def host_prevoxelize(points: np.ndarray, voxel_size: float, max_points: int) -> 
 
     first = native.prevoxelize_indices(np.asarray(points, np.float32), voxel_size)
     reps = points[np.sort(first)]
-    if reps.shape[0] > max_points:
-        sel = np.random.default_rng(0).choice(reps.shape[0], max_points, replace=False)
+    # Cap at max_points-1: a grid of size m holds at most m-1 voxels
+    # (row m-1 is the reserved zero row, ops/voxel.py), so a cloud that
+    # exactly fills the largest bucket would silently drop one voxel.
+    cap = max_points - 1
+    if reps.shape[0] > cap:
+        sel = np.random.default_rng(0).choice(reps.shape[0], cap, replace=False)
         reps = reps[np.sort(sel)]
     return reps.astype(np.float32)
 
