@@ -1,0 +1,166 @@
+"""End-to-end accuracy ladder on the synthetic 3DMatch-style corpus.
+
+Real 3DMatch blobs are stripped from this mirror, so accuracy is proven
+on the in-repo corpus (``yoho_tpu/data/synthetic.py``): generate ->
+train FCGF from scratch -> generate the PartI/PartII trainset -> train
+PartI -> train PartII -> evaluate YOHO-C and YOHO-O through the full
+Redwood RR protocol on held-out test scenes, against an untrained
+baseline. Mirrors the reference ladder (``others/Readme.md`` FCGF
+training -> ``YOHO_Trainset.py`` -> ``Train.py`` -> ``Test.py``).
+
+Every stage is idempotent (on-disk caching); rerunning resumes.
+
+Usage: PYTHONPATH=/root/repo python scripts/run_synth_ladder.py \
+         [--fcgf-seconds 600] [--stage all]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+VAL = "scene_05"  # last synth_train scene held out for PartI/II validation
+
+
+def run(cmd, **kw):
+    print(f"\n=== {' '.join(cmd)}", flush=True)
+    t0 = time.time()
+    # append, don't clobber: PYTHONPATH may carry the TPU PJRT plugin
+    prev = os.environ.get("PYTHONPATH", "")
+    env = dict(os.environ, PYTHONPATH=f"{REPO}:{prev}" if prev else REPO)
+    r = subprocess.run(cmd, cwd=REPO, env=env, **kw)
+    print(f"=== done rc={r.returncode} in {time.time()-t0:.0f}s", flush=True)
+    if r.returncode != 0:
+        sys.exit(r.returncode)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--origin-dir", default="./data/origin_data")
+    ap.add_argument("--cache-root", default="./data/YOHO_SYNTH")
+    ap.add_argument("--model-dir", default="./model")
+    ap.add_argument("--fcgf-steps", type=int, default=4000)
+    ap.add_argument("--fcgf-seconds", type=float, default=900)
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--max-iter", type=int, default=1000)
+    ap.add_argument(
+        "--stage",
+        default="all",
+        choices=["all", "corpus", "fcgf", "trainset", "part1", "part2",
+                 "eval", "eval_untrained", "results"],
+    )
+    args = ap.parse_args()
+    py = sys.executable
+    stages = (
+        ["corpus", "fcgf", "trainset", "part1", "part2", "eval",
+         "eval_untrained", "results"]
+        if args.stage == "all"
+        else [args.stage]
+    )
+
+    if "corpus" in stages:
+        sys.path.insert(0, REPO)
+        from yoho_tpu.data.synthetic import generate_corpus
+
+        out = generate_corpus(args.origin_dir)
+        print(f"corpus: {out}", flush=True)
+
+    if "fcgf" in stages:
+        run([
+            py, "scripts/train_fcgf.py", "--dataset", "synth_train",
+            "--origin-dir", args.origin_dir, "--model-dir", args.model_dir,
+            "--val-scenes", VAL, "--steps", str(args.fcgf_steps),
+            "--max-seconds", str(args.fcgf_seconds),
+        ])
+
+    if "trainset" in stages:
+        run([
+            py, "scripts/trainset_gen.py", "--dataset", "synth_train",
+            "--origin-dir", args.origin_dir, "--model-dir", args.model_dir,
+            "--val-scenes", VAL,
+            "--output-dir", os.path.join(args.cache_root, "train_cache"),
+        ])
+
+    if "part1" in stages:
+        run([
+            py, "scripts/train.py", "--part", "PartI",
+            "--data-dir", os.path.join(args.cache_root, "train_cache"),
+            "--model-dir", args.model_dir, "--epochs", str(args.epochs),
+        ])
+
+    if "part2" in stages:
+        run([
+            py, "scripts/train.py", "--part", "PartII",
+            "--data-dir", os.path.join(args.cache_root, "train_cache"),
+            "--model-dir", args.model_dir, "--epochs", str(args.epochs),
+        ])
+
+    if "eval" in stages:
+        for part in ("PartI", "PartII"):
+            run([
+                py, "scripts/test.py", "--part", part, "--dataset", "synth_test",
+                "--origin-dir", args.origin_dir, "--model-dir", args.model_dir,
+                "--cache-dir", os.path.join(args.cache_root, "eval_trained"),
+                "--max-iter", str(args.max_iter),
+                "--out-json",
+                os.path.join(args.cache_root, f"eval_trained_{part}.json"),
+            ])
+
+    if "eval_untrained" in stages:
+        empty = os.path.join(args.cache_root, "no_model")
+        os.makedirs(empty, exist_ok=True)
+        run([
+            py, "scripts/test.py", "--part", "PartI", "--dataset", "synth_test",
+            "--origin-dir", args.origin_dir, "--model-dir", empty,
+            "--cache-dir", os.path.join(args.cache_root, "eval_untrained"),
+            "--max-iter", str(args.max_iter),
+            "--out-json",
+            os.path.join(args.cache_root, "eval_untrained_PartI.json"),
+        ])
+
+    if "results" in stages:
+        rows = []
+        for tag, part in [
+            ("YOHO-C (trained)", "eval_trained_PartI"),
+            ("YOHO-O (trained)", "eval_trained_PartII"),
+            ("YOHO-C (untrained baseline)", "eval_untrained_PartI"),
+        ]:
+            fn = os.path.join(args.cache_root, f"{part}.json")
+            if not os.path.exists(fn):
+                continue
+            with open(fn) as f:
+                d = json.load(f)
+            rows.append((tag, d))
+        md = [
+            "# RESULTS — synthetic 3DMatch-style corpus",
+            "",
+            "Full ladder trained from scratch in-repo (no reference",
+            "checkpoints exist in this mirror): `scripts/run_synth_ladder.py`",
+            "= corpus gen -> FCGF -> trainset -> PartI -> PartII -> eval.",
+            "Protocol: Redwood RR via `yoho_tpu/benchmark/rr.py` (reference",
+            "`utils/RR_cal.py`), FMR tau_1=0.05 tau_2=0.1, RR tau_3=0.2,",
+            f"RANSAC max_iter={args.max_iter}. Test scenes are held out",
+            "(never seen in FCGF/PartI/PartII training); gt rotations are",
+            "arbitrary SO(3), not icosahedral elements.",
+            "",
+            "| pipeline | FMR | mean inlier ratio | Registration Recall |",
+            "|---|---|---|---|",
+        ]
+        for tag, d in rows:
+            md.append(
+                f"| {tag} | {d['FMR']:.3f} | {d['inlier_ratio']:.3f} "
+                f"| {d['registration_recall']:.3f} |"
+            )
+        md += ["", "Raw JSON: `data/YOHO_SYNTH/eval_*.json` (stage timings inside)."]
+        with open(os.path.join(REPO, "RESULTS.md"), "w") as f:
+            f.write("\n".join(md) + "\n")
+        print("\n".join(md))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--tau-1", type=float, default=0.05)
     ap.add_argument("--tau-2", type=float, default=0.1)
     ap.add_argument("--tau-3", type=float, default=0.2)
+    ap.add_argument("--out-json", default=None, help="write the result dict as JSON")
     args = ap.parse_args()
 
     import jax
@@ -107,6 +108,12 @@ def main():
         with_part2=args.part == "PartII",
     )
     print(out)
+    if args.out_json:
+        import json
+
+        os.makedirs(os.path.dirname(os.path.abspath(args.out_json)), exist_ok=True)
+        with open(args.out_json, "w") as f:
+            json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -23,8 +23,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--origin-dir", default="./data/origin_data")
     ap.add_argument("--model-dir", default="./model")
+    ap.add_argument("--dataset", default="3dmatch_train")
+    ap.add_argument(
+        "--val-scenes",
+        default=None,
+        help="comma-separated scenes to hold out (default: the 3dmatch VAL_SCENES)",
+    )
     ap.add_argument("--steps", type=int, default=30000)
-    ap.add_argument("--lr", type=float, default=1e-1 * 0.01)  # 1e-3 Adam
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--max-seconds", type=float, default=0, help="wall-clock cap (0 = none)")
     ap.add_argument("--val-interval", type=int, default=2000)
     ap.add_argument("--save-interval", type=int, default=1000)
     ap.add_argument("--n-pos", type=int, default=512)
@@ -56,10 +63,13 @@ def main():
     model = SparseResUNet(cfg.backbone)
     rng = np.random.default_rng(0)
 
-    datasets = get_datasets("3dmatch_train", args.origin_dir)
+    val_scenes = (
+        VAL_SCENES if args.val_scenes is None else args.val_scenes.split(",")
+    )
+    datasets = get_datasets(args.dataset, args.origin_dir)
     pair_list = []
     for scene, ds in datasets.items():
-        if scene == "wholesetname" or scene in VAL_SCENES:
+        if scene == "wholesetname" or scene in val_scenes:
             continue
         for p in ds.pair_ids:
             pair_list.append((ds, p))
@@ -87,7 +97,7 @@ def main():
     variables = model.init(
         jax.random.PRNGKey(0), jnp.ones((pad, 1), jnp.float32), plan0, False
     )
-    schedule = optax.exponential_decay(1e-3, args.steps // 4, 0.5)
+    schedule = optax.exponential_decay(args.lr, max(args.steps // 4, 1), 0.5)
     opt = optax.adam(schedule)
     state = init_train_state(variables, opt)
 
@@ -108,6 +118,9 @@ def main():
     running = []
     t0 = time.time()
     while int(state.step) < args.steps:
+        if args.max_seconds and time.time() - t0 > args.max_seconds:
+            print(f"wall-clock cap {args.max_seconds}s reached at step {int(state.step)}")
+            break
         b = sample_batch()
         state, metrics = step_fn(
             state,
@@ -118,20 +131,23 @@ def main():
         step = int(state.step)
         if step % 100 == 0:
             print(
-                f"step {step} loss {np.mean(running):.4f} "
+                f"step {step} loss {np.mean(running[-100:]):.4f} "
                 f"({time.time()-t0:.0f}s)",
                 flush=True,
             )
-            running = []
+            running = running[-100:]
         if step % args.save_interval == 0:
             save_checkpoint(ckpt, state, best)
         if step % args.val_interval == 0:
-            # proxy validation: running loss (full val would lift features)
-            cur = float(metrics["loss"])
+            # proxy validation: mean loss over the last <=100 steps
+            # (full val would lift features; too expensive mid-train)
+            cur = float(np.mean(running[-100:]))
             if cur < best:
                 best = cur
                 save_checkpoint(best_fn, state, best)
     save_checkpoint(ckpt, state, best)
+    if not os.path.exists(best_fn):
+        save_checkpoint(best_fn, state, best)
 
 
 if __name__ == "__main__":

@@ -22,6 +22,12 @@ def main():
     ap.add_argument("--origin-dir", default="./data/origin_data")
     ap.add_argument("--output-dir", default="./data/YOHO_TPU")
     ap.add_argument("--model-dir", default="./model")
+    ap.add_argument("--dataset", default="3dmatch_train")
+    ap.add_argument(
+        "--val-scenes",
+        default=None,
+        help="comma-separated held-out scenes (default: the 3dmatch VAL_SCENES)",
+    )
     ap.add_argument("--stage", default="all", choices=["all", "filter", "lift", "bake"])
     args = ap.parse_args()
 
@@ -45,10 +51,13 @@ def main():
     from yoho_tpu.train.trainer import load_checkpoint
 
     cfg = default_config()
-    datasets = get_datasets("3dmatch_train", args.origin_dir)
+    val_scenes = (
+        VAL_SCENES if args.val_scenes is None else args.val_scenes.split(",")
+    )
+    datasets = get_datasets(args.dataset, args.origin_dir)
 
     if args.stage in ("all", "filter"):
-        ts.filter_keypoints_and_pairs(datasets, args.output_dir, VAL_SCENES)
+        ts.filter_keypoints_and_pairs(datasets, args.output_dir, val_scenes)
 
     if args.stage in ("all", "lift"):
         pad = cfg.pad.max_voxels
@@ -92,9 +101,9 @@ def main():
         ts.generate_rotated_features(lift_fn, datasets, args.output_dir, pad)
 
     if args.stage in ("all", "bake"):
-        n = ts.bake_train_batches(datasets, args.output_dir, VAL_SCENES)
+        n = ts.bake_train_batches(datasets, args.output_dir, val_scenes)
         print(f"baked {n} train batches")
-        m = ts.bake_val_batches(datasets, args.output_dir, VAL_SCENES)
+        m = ts.bake_val_batches(datasets, args.output_dir, val_scenes)
         print(f"baked {m} val batches")
 
 

@@ -163,6 +163,12 @@ class FragmentDataset:
 def get_datasets(dataset_name: str, origin_data_dir: str) -> Dict[str, FragmentDataset]:
     """Name -> {scene: FragmentDataset, 'wholesetname': name}
     (reference ``get_dataset_name``, utils/dataset.py:146-229)."""
+    if dataset_name not in SCENE_TABLES and dataset_name.startswith("synth"):
+        # synthetic corpora register themselves by scanning what
+        # data/synthetic.py emitted under origin_data_dir
+        from yoho_tpu.data.synthetic import register_synthetic_tables
+
+        register_synthetic_tables(origin_data_dir)
     if dataset_name not in SCENE_TABLES:
         raise NotImplementedError(f"unknown dataset {dataset_name!r}")
     scenes, stations = SCENE_TABLES[dataset_name]

@@ -44,7 +44,10 @@ def sparse_conv(
       row_chunk: output rows per im2col tile (im2col variant only).
       variant: 'im2col' (gather -> (M, K*Cin) @ (K*Cin, Cout)),
         'einsum' (gather -> kmc,kco->mo contraction, no relayout),
-        'einsum_bf16' (same with bfloat16 operands, f32 accumulation).
+        'einsum_bf16' (same with bfloat16 operands, f32 accumulation),
+        'pallas' (fused VMEM-resident gather->MXU->accumulate kernel,
+        ops/pallas_conv.py; silently falls back to 'unrolled' when the
+        feature matrix exceeds the VMEM budget).
         An explicit per-call variant always wins; $YOHO_CONV_VARIANT
         (read per call, not at import) only fills in the default.
 
@@ -54,6 +57,21 @@ def sparse_conv(
     variant = variant or os.environ.get("YOHO_CONV_VARIANT") or "im2col"
     K, M = kmap.in_idx.shape
     Cin = feats.shape[1]
+
+    if variant == "pallas":
+        from yoho_tpu.ops import pallas_conv as pc
+
+        if pc.fits_vmem(feats.shape, kmap.in_idx.shape, weights.shape):
+            out = pc.pallas_sparse_conv(
+                feats.astype(jnp.float32),
+                kmap.in_idx,
+                kmap.valid.astype(jnp.float32),
+                weights.astype(jnp.float32),
+            )
+            if bias is not None:
+                out = out + bias[None, :]
+            return out
+        variant = "unrolled"
 
     if variant == "unrolled":
         # K per-offset gathers (each monotone over m -> page-friendly) +

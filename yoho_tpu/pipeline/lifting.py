@@ -30,35 +30,43 @@ from yoho_tpu.ops.knn import nn_search
 from yoho_tpu.ops.voxel import unique_voxels
 
 
-def lift_group_features(
+def lift_rotations(
     fcgf_apply,
     fcgf_variables,
     points: jnp.ndarray,
     num_points: jnp.ndarray,
     keypoints: jnp.ndarray,
+    rotations: jnp.ndarray,
     voxel_size: float,
     conv1_kernel_size: int = 7,
     rotations_per_batch: int = 4,
     knn_chunk: int = 1024,
     max_voxels: int | None = None,
 ) -> jnp.ndarray:
-    """Lift one cloud to (num_keypoints, 60, 32) FCGF group features.
+    """Lift one cloud over an arbitrary rotation set -> (G', Kn, C).
+
+    The group-axis core shared by the full single-device lift (all 60
+    icosahedral rotations) and the device-sharded lift
+    (``parallel/sharded.py`` gives each device a 60/n_group slice —
+    the rotation axis is embarrassingly parallel, SURVEY.md §2.2).
 
     Args:
       fcgf_apply: bound apply fn ``(variables, feats, plan) -> (N, 32)``.
       points: (N_pad, 3) float32, rows >= num_points ignored.
       keypoints: (Kn, 3) float32 (reference: 5,000 per cloud).
+      rotations: (G', 3, 3); G' must be divisible by rotations_per_batch.
 
     Per rotation g (reference ``YOHO_testset.py:35-50,139-159``):
     rotate cloud by R_g, voxelize, FCGF, then 1-NN transfer from the
     selected voxel representative points to the rotated keypoints.
     """
-    Rgroup = jnp.asarray(get_group().rotations, jnp.float32)
+    Rgroup = jnp.asarray(rotations, jnp.float32)
+    G = Rgroup.shape[0]
     n_pad = points.shape[0]
     kn = keypoints.shape[0]
     pad_kn = (-kn) % knn_chunk
     bg = rotations_per_batch
-    assert 60 % bg == 0, "rotations_per_batch must divide 60"
+    assert G % bg == 0, "rotations_per_batch must divide the rotation count"
     # Static voxel budget per rotation: every sort/search/gather in the
     # plan and network scales with it, so callers that pre-voxelize on
     # the host should pick the smallest bucket >= the true voxel count
@@ -107,8 +115,38 @@ def lift_group_features(
         flat_idx = starts[:, None] + idx  # rows into f
         return f[flat_idx.reshape(-1)].reshape(bg, kn, -1)
 
-    out = jax.lax.map(one_batch, Rgroup.reshape(60 // bg, bg, 3, 3))
-    return out.reshape(60, kn, -1).transpose(1, 0, 2)  # (Kn, 60, C)
+    out = jax.lax.map(one_batch, Rgroup.reshape(G // bg, bg, 3, 3))
+    return out.reshape(G, kn, -1)  # (G', Kn, C)
+
+
+def lift_group_features(
+    fcgf_apply,
+    fcgf_variables,
+    points: jnp.ndarray,
+    num_points: jnp.ndarray,
+    keypoints: jnp.ndarray,
+    voxel_size: float,
+    conv1_kernel_size: int = 7,
+    rotations_per_batch: int = 4,
+    knn_chunk: int = 1024,
+    max_voxels: int | None = None,
+) -> jnp.ndarray:
+    """Lift one cloud to (num_keypoints, 60, 32) FCGF group features
+    over the full icosahedral group (reference ``YOHO_testset.py``)."""
+    out = lift_rotations(
+        fcgf_apply,
+        fcgf_variables,
+        points,
+        num_points,
+        keypoints,
+        get_group().rotations,
+        voxel_size,
+        conv1_kernel_size,
+        rotations_per_batch,
+        knn_chunk,
+        max_voxels,
+    )
+    return out.transpose(1, 0, 2)  # (Kn, 60, C)
 
 
 def make_lift_fn(model, voxel_size, conv1_kernel_size, rotations_per_batch=4):

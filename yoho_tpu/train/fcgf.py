@@ -97,16 +97,18 @@ def hardest_contrastive_loss(
     }
 
 
-def fcgf_train_step(
+def fcgf_grads(
     model,
-    optimizer,
     state: TrainState,
     batch: dict,
     voxel_size: float,
     conv1_kernel_size: int,
     key: jax.Array,
 ):
-    """One step: voxelize both clouds, run the UNet, contrastive loss.
+    """Gradients for one fragment pair: voxelize both clouds, run the
+    UNet, contrastive loss. Returns (grads, new_batch_stats, metrics) —
+    the optimizer update is applied by the caller so the data-parallel
+    step (``parallel/sharded.py``) can pmean gradients first.
 
     batch: points0/points1 (N_pad, 3), n0/n1, pos_pairs (P, 2) indices
     into the *point rows* (mapped to voxel rows via first_index inverse
@@ -160,9 +162,22 @@ def fcgf_train_step(
     (loss, (aux, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params
     )
+    return grads, new_stats, {"loss": loss, **aux}
+
+
+def fcgf_train_step(
+    model,
+    optimizer,
+    state: TrainState,
+    batch: dict,
+    voxel_size: float,
+    conv1_kernel_size: int,
+    key: jax.Array,
+):
+    """Single-device step: grads + Adam update (see ``fcgf_grads``)."""
+    grads, new_stats, metrics = fcgf_grads(
+        model, state, batch, voxel_size, conv1_kernel_size, key
+    )
     updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
-    return TrainState(new_params, new_stats, new_opt, state.step + 1), {
-        "loss": loss,
-        **aux,
-    }
+    return TrainState(new_params, new_stats, new_opt, state.step + 1), metrics
