@@ -118,7 +118,7 @@ def main():
             py, "scripts/test.py", "--part", "PartI", "--dataset", "synth_test",
             "--origin-dir", args.origin_dir, "--model-dir", empty,
             "--cache-dir", os.path.join(args.cache_root, "eval_untrained"),
-            "--max-iter", str(args.max_iter),
+            "--max-iter", str(args.max_iter), "--allow-random",
             "--out-json",
             os.path.join(args.cache_root, "eval_untrained_PartI.json"),
         ])

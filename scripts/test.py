@@ -29,6 +29,12 @@ def main():
     ap.add_argument("--tau-2", type=float, default=0.1)
     ap.add_argument("--tau-3", type=float, default=0.2)
     ap.add_argument("--out-json", default=None, help="write the result dict as JSON")
+    ap.add_argument(
+        "--allow-random",
+        action="store_true",
+        help="permit evaluating randomly-initialized networks when a "
+        "checkpoint is missing (otherwise a missing checkpoint is an error)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -70,6 +76,11 @@ def main():
             state, best = load_checkpoint(ckpt, template)
             print(f"loaded {ckpt} (best {best})")
             return {"params": state.params, "batch_stats": state.batch_stats}
+        if not args.allow_random:
+            sys.exit(
+                f"ERROR: no checkpoint at {ckpt} — refusing to evaluate "
+                "random weights (pass --allow-random to override)"
+            )
         print(f"WARNING: no checkpoint at {ckpt}; using random init")
         return v0
 

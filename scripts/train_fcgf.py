@@ -53,7 +53,7 @@ def main():
     from yoho_tpu.models.plan import build_unet_plan
     from yoho_tpu.ops.voxel import build_grid
     from yoho_tpu.pipeline.runner import host_prevoxelize
-    from yoho_tpu.train.fcgf import fcgf_train_step
+    from yoho_tpu.train.fcgf import fcgf_eval_loss, fcgf_train_step
     from yoho_tpu.train.steps import init_train_state
     from yoho_tpu.train.trainer import load_checkpoint, save_checkpoint
 
@@ -67,13 +67,14 @@ def main():
         VAL_SCENES if args.val_scenes is None else args.val_scenes.split(",")
     )
     datasets = get_datasets(args.dataset, args.origin_dir)
-    pair_list = []
+    pair_list, val_pair_list = [], []
     for scene, ds in datasets.items():
-        if scene == "wholesetname" or scene in val_scenes:
+        if scene == "wholesetname":
             continue
+        target = val_pair_list if scene in val_scenes else pair_list
         for p in ds.pair_ids:
-            pair_list.append((ds, p))
-    print(f"{len(pair_list)} training pairs")
+            target.append((ds, p))
+    print(f"{len(pair_list)} training pairs, {len(val_pair_list)} val pairs")
 
     cloud_cache = {}
 
@@ -115,6 +116,36 @@ def main():
             model, opt, s, b, vs, cfg.backbone.conv1_kernel_size, k
         )
     )
+    eval_fn = jax.jit(
+        lambda s, b, k: fcgf_eval_loss(
+            model, s, b, vs, cfg.backbone.conv1_kernel_size, k
+        )
+    )
+
+    # fixed held-out val batches for best-checkpoint selection (deterministic
+    # sampling rng so every validation pass scores the same positives)
+    n_val = min(8, len(val_pair_list))
+    val_idx = np.random.default_rng(7).choice(
+        len(val_pair_list), size=n_val, replace=False
+    ) if n_val else []
+    val_batches = []
+    for i in val_idx:
+        ds, (a, b) = val_pair_list[int(i)]
+        vb = make_fcgf_batch(
+            get_cloud(ds, a), get_cloud(ds, b), vs, pad, n_pos=args.n_pos,
+            rng=np.random.default_rng(7 + int(i)),
+        )
+        val_batches.append({k: jnp.asarray(v) for k, v in vb.items()})
+
+    def val_loss(s):
+        if not val_batches:
+            return float("nan")
+        losses = [
+            float(eval_fn(s, vb, jax.random.PRNGKey(11 + i))[0])
+            for i, vb in enumerate(val_batches)
+        ]
+        return float(np.mean(losses))
+
     running = []
     t0 = time.time()
     while int(state.step) < args.steps:
@@ -139,9 +170,11 @@ def main():
         if step % args.save_interval == 0:
             save_checkpoint(ckpt, state, best)
         if step % args.val_interval == 0:
-            # proxy validation: mean loss over the last <=100 steps
-            # (full val would lift features; too expensive mid-train)
-            cur = float(np.mean(running[-100:]))
+            # eval-mode contrastive loss on fixed held-out scene pairs
+            cur = val_loss(state)
+            if np.isnan(cur):  # no val scenes: fall back to train-loss proxy
+                cur = float(np.mean(running[-100:]))
+            print(f"step {step} val_loss {cur:.4f} (best {best:.4f})", flush=True)
             if cur < best:
                 best = cur
                 save_checkpoint(best_fn, state, best)

@@ -165,6 +165,59 @@ def fcgf_grads(
     return grads, new_stats, {"loss": loss, **aux}
 
 
+def fcgf_eval_loss(
+    model,
+    state: TrainState,
+    batch: dict,
+    voxel_size: float,
+    conv1_kernel_size: int,
+    key: jax.Array,
+):
+    """Held-out validation loss for one fragment pair: same objective as
+    ``fcgf_grads`` but eval-mode (no grads, batch_stats frozen). Used by
+    ``scripts/train_fcgf.py`` for best-checkpoint selection."""
+    from yoho_tpu.models.plan import build_unet_plan
+    from yoho_tpu.ops.kernel_map import search_keys
+    from yoho_tpu.ops.voxel import build_grid, pack_keys, quantize
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    def featurize(points, n):
+        grid, first = build_grid(points, voxel_size, n)
+        plan = build_unet_plan(grid, conv1_kernel_size)
+        feats_in = jnp.ones((points.shape[0], 1), points.dtype)
+        out = model.apply(variables, feats_in, plan, False)
+        return out, grid, first, plan
+
+    def point_rows_to_voxel_rows(grid, points, n, rows):
+        coords, _ = quantize(points, voxel_size, n)
+        q_hi, q_lo = pack_keys(coords[rows])
+        return search_keys(grid, q_hi, q_lo)
+
+    f0, g0, first0, p0 = featurize(batch["points0"], batch["n0"])
+    f1, g1, first1, p1 = featurize(batch["points1"], batch["n1"])
+    r0, ok0 = point_rows_to_voxel_rows(
+        g0, batch["points0"], batch["n0"], batch["pos_pairs"][:, 0]
+    )
+    r1, ok1 = point_rows_to_voxel_rows(
+        g1, batch["points1"], batch["n1"], batch["pos_pairs"][:, 1]
+    )
+    pos = jnp.stack([r0, r1], axis=1)
+    pmask = batch["pos_mask"] & ok0 & ok1
+    loss, aux = hardest_contrastive_loss(
+        f0,
+        f1,
+        p0.mask1,
+        p1.mask1,
+        batch["points0"][first0],
+        batch["points1"][first1],
+        pos,
+        pmask,
+        key=key,
+    )
+    return loss, aux
+
+
 def fcgf_train_step(
     model,
     optimizer,
