@@ -43,6 +43,9 @@ def main():
         "jax_compilation_cache_dir",
         os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache"),
     )
+    from yoho_tpu.parallel.multihost import maybe_initialize
+
+    maybe_initialize()
     import jax.numpy as jnp
 
     from yoho_tpu.config import default_config

@@ -43,6 +43,9 @@ def main():
         "jax_compilation_cache_dir",
         os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache"),
     )
+    from yoho_tpu.parallel.multihost import maybe_initialize
+
+    maybe_initialize()
     import jax.numpy as jnp
     import optax
 
@@ -111,11 +114,35 @@ def main():
         state, best = load_checkpoint(ckpt, state)
         print(f"resumed at step {int(state.step)}")
 
-    step_fn = jax.jit(
-        lambda s, b, k: fcgf_train_step(
-            model, opt, s, b, vs, cfg.backbone.conv1_kernel_size, k
+    # >1 device: data-parallel step, one fragment pair per device with
+    # pmean'd gradients (parallel/sharded.py; DDP analog). 1 device:
+    # the plain jitted step. Both advance state.step by 1 per call.
+    n_dev = jax.device_count()
+    if n_dev > 1:
+        from yoho_tpu.parallel.mesh import make_mesh
+        from yoho_tpu.parallel.sharded import make_fcgf_train_step_dp
+
+        dp_mesh = make_mesh(n_dev, 1)
+        dp_fn = make_fcgf_train_step_dp(
+            dp_mesh, model, opt, vs, cfg.backbone.conv1_kernel_size
         )
-    )
+        print(f"data-parallel training over {n_dev} devices")
+
+        def make_step_batch(_):
+            bs = [sample_batch() for _ in range(n_dev)]
+            return {k: np.stack([b[k] for b in bs]) for k in bs[0]}
+
+        def step_fn(s, b, k):
+            with dp_mesh:
+                return dp_fn(s, b, k)
+
+    else:
+        make_step_batch = lambda _: sample_batch()
+        step_fn = jax.jit(
+            lambda s, b, k: fcgf_train_step(
+                model, opt, s, b, vs, cfg.backbone.conv1_kernel_size, k
+            )
+        )
     eval_fn = jax.jit(
         lambda s, b, k: fcgf_eval_loss(
             model, s, b, vs, cfg.backbone.conv1_kernel_size, k
@@ -146,13 +173,23 @@ def main():
         ]
         return float(np.mean(losses))
 
+    # async host pipeline: batch i+1 is mined/padded on a background
+    # thread while the device runs step i (reference analog: 16
+    # dataloader workers, parses_partI.py:52-53). One worker: the
+    # numpy rng + cloud cache in sample_batch are not thread-safe.
+    import itertools
+
+    from yoho_tpu.utils.prefetch import prefetch
+
+    batch_iter = prefetch(make_step_batch, itertools.count(), depth=2, workers=1)
+
     running = []
     t0 = time.time()
     while int(state.step) < args.steps:
         if args.max_seconds and time.time() - t0 > args.max_seconds:
             print(f"wall-clock cap {args.max_seconds}s reached at step {int(state.step)}")
             break
-        b = sample_batch()
+        _, b = next(batch_iter)
         state, metrics = step_fn(
             state,
             {k: jnp.asarray(v) for k, v in b.items()},
@@ -178,6 +215,7 @@ def main():
             if cur < best:
                 best = cur
                 save_checkpoint(best_fn, state, best)
+    print(f"host-prep wait total {batch_iter.wait_s:.1f}s (device idle on input)")
     save_checkpoint(ckpt, state, best)
     if not os.path.exists(best_fn):
         save_checkpoint(best_fn, state, best)

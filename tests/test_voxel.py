@@ -263,3 +263,30 @@ def test_stride_grid_smaller_pad(rng):
     vox = _np_unique_voxels(cloud, 0.05)
     ref_coarse = np.unique((vox // 2) * 2, axis=0)
     assert int(coarse.count) == len(ref_coarse)
+
+
+def test_saturation_is_counted(rng):
+    """Overflowing unique_voxels reports the drop count on the grid
+    (SparseGrid.dropped); non-overflowing grids report 0."""
+    cloud = rng.uniform(-1, 1, size=(3000, 3)).astype(np.float32)
+    n = cloud.shape[0]
+    pts = jnp.zeros((4096, 3), jnp.float32).at[:n].set(jnp.asarray(cloud))
+    from yoho_tpu.ops.voxel import quantize
+
+    coords, valid = quantize(pts, 0.05, n)
+    small, _ = jax.jit(lambda c, v: unique_voxels(c, v, out_size=256))(coords, valid)
+    full, _ = jax.jit(lambda c, v: unique_voxels(c, v))(coords, valid)
+    n_unique = len(_np_unique_voxels(cloud, 0.05))
+    assert int(full.dropped) == 0
+    assert int(small.dropped) == n_unique - 255
+
+
+def test_host_prevoxelize_reports_truncation(rng):
+    from yoho_tpu.pipeline.runner import host_prevoxelize
+
+    cloud = rng.uniform(-1, 1, size=(3000, 3)).astype(np.float32)
+    n_unique = len(_np_unique_voxels(cloud, 0.05))
+    reps, dropped = host_prevoxelize(cloud, 0.05, 256, return_dropped=True)
+    assert len(reps) == 255 and dropped == n_unique - 255
+    reps2, dropped2 = host_prevoxelize(cloud, 0.05, 65536, return_dropped=True)
+    assert dropped2 == 0 and len(reps2) == n_unique

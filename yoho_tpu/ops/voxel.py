@@ -48,6 +48,9 @@ class SparseGrid(NamedTuple):
       stride: int, tensor stride (1 at full resolution, doubles per
         downsampling level — same bookkeeping as MinkowskiEngine's
         tensor_stride).
+      dropped: int32 scalar, unique voxels that did NOT fit in the
+        static pad (0 in the normal case; the saturation counter that
+        makes bucket overflow observable instead of silent).
     """
 
     coords: jnp.ndarray
@@ -55,6 +58,7 @@ class SparseGrid(NamedTuple):
     key_lo: jnp.ndarray
     count: jnp.ndarray
     stride: int
+    dropped: jnp.ndarray | int = 0
 
 
 def pack_keys(coords: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -159,7 +163,9 @@ def unique_voxels(
     # therefore capped at m-1 usable voxels.
     rank = jnp.cumsum(new_flag) - 1  # (n,) int; garbage where ~new_flag
     dest = jnp.where(new_flag & (rank < m - 1), rank, m)  # drop dups/pad/overflow
-    ucount = jnp.minimum(jnp.sum(new_flag), m - 1).astype(jnp.int32)
+    total_unique = jnp.sum(new_flag).astype(jnp.int32)
+    ucount = jnp.minimum(total_unique, m - 1)
+    n_dropped = total_unique - ucount  # saturation counter (usually 0)
 
     out_hi = jnp.full((m,), SENTINEL).at[dest].set(hi_s, mode="drop")
     out_lo = jnp.full((m,), SENTINEL).at[dest].set(lo_s, mode="drop")
@@ -167,7 +173,8 @@ def unique_voxels(
     out_coords = unpack_keys(out_hi, out_lo)  # no scatter; masked by count
 
     grid = SparseGrid(
-        coords=out_coords, key_hi=out_hi, key_lo=out_lo, count=ucount, stride=stride
+        coords=out_coords, key_hi=out_hi, key_lo=out_lo, count=ucount,
+        stride=stride, dropped=n_dropped,
     )
     return grid, first_index
 

@@ -45,13 +45,22 @@ def _ensure(d):
     return d
 
 
-def host_prevoxelize(points: np.ndarray, voxel_size: float, max_points: int) -> np.ndarray:
+def host_prevoxelize(
+    points: np.ndarray,
+    voxel_size: float,
+    max_points: int,
+    return_dropped: bool = False,
+):
     """One representative raw point per voxel (first occurrence), then
     truncate to max_points. The reference voxelizes the raw cloud per
     rotation (YOHO_testset.py:40); pre-voxelizing the unrotated cloud
     once and re-voxelizing its representatives per rotation yields the
     same voxel occupancy up to boundary ties and keeps device pads
-    static. Uses the native C++ hash voxelizer when available."""
+    static. Uses the native C++ hash voxelizer when available.
+
+    ``return_dropped=True`` additionally returns the number of voxels
+    truncated by the ``max_points`` cap (the saturation counter callers
+    surface via StageTimer; 0 in the normal case)."""
     from yoho_tpu import native
 
     first = native.prevoxelize_indices(np.asarray(points, np.float32), voxel_size)
@@ -60,10 +69,12 @@ def host_prevoxelize(points: np.ndarray, voxel_size: float, max_points: int) -> 
     # (row m-1 is the reserved zero row, ops/voxel.py), so a cloud that
     # exactly fills the largest bucket would silently drop one voxel.
     cap = max_points - 1
-    if reps.shape[0] > cap:
+    dropped = max(0, reps.shape[0] - cap)
+    if dropped:
         sel = np.random.default_rng(0).choice(reps.shape[0], cap, replace=False)
         reps = reps[np.sort(sel)]
-    return reps.astype(np.float32)
+    reps = reps.astype(np.float32)
+    return (reps, dropped) if return_dropped else reps
 
 
 class PipelineRunner:
@@ -159,7 +170,38 @@ class PipelineRunner:
 
         from yoho_tpu.group import get_group
 
+        # Multi-device: shard the lift (clouds over `data`, the
+        # 60-rotation axis over `group`) — the production wiring of
+        # parallel/sharded.py. Single device keeps the per-cloud jit.
+        n_dev = jax.device_count()
+        self.use_sharded_lift = n_dev > 1
+        if self.use_sharded_lift:
+            from yoho_tpu.parallel.mesh import make_mesh
+            from yoho_tpu.parallel.sharded import make_sharded_lift
+
+            n_group = max(
+                g for g in range(1, n_dev + 1) if n_dev % g == 0 and 60 % g == 0
+            )
+            self.lift_mesh = make_mesh(n_dev // n_group, n_group)
+            sharded_cache = {}
+
+            def sharded_lift_for_bucket(bucket: int):
+                if bucket not in sharded_cache:
+                    sharded_cache[bucket] = make_sharded_lift(
+                        self.lift_mesh,
+                        fcgf_apply,
+                        cfg.backbone.voxel_size,
+                        cfg.backbone.conv1_kernel_size,
+                    )
+                return sharded_cache[bucket]
+
+            self.sharded_lift_for_bucket = sharded_lift_for_bucket
+
+        from yoho_tpu.utils.observability import StageTimer
+
+        self.timer = StageTimer()
         self._Rgroup = get_group().rotations.astype(np.float32)
+        self._fcgf_vars = fcgf_vars
         self.lift_for_bucket = lift_for_bucket
         self.part1_desc = part1_desc
         self.match_and_dr = match_and_dr
@@ -180,31 +222,110 @@ class PipelineRunner:
         out[:n] = pts[:n]
         return self.jnp.asarray(out), n, bucket
 
+    def _sharded_prelift(self, dataset, lift_dir: str, yoho_dir: str) -> None:
+        """Fill the FCGF lift cache in device-count-sized batches over
+        the (data, group) mesh (clouds x rotations sharded)."""
+        jnp = self.jnp
+        todo = []
+        for pc_id in dataset.pc_ids:
+            if os.path.exists(os.path.join(yoho_dir, f"{pc_id}.npy")):
+                continue
+            if os.path.exists(os.path.join(lift_dir, f"{pc_id}.npy")):
+                continue
+            pts, dropped = host_prevoxelize(
+                dataset.get_pc(pc_id), self.cfg.backbone.voxel_size, self.pad,
+                return_dropped=True,
+            )
+            if dropped:
+                self.timer.count("prevoxelize_dropped_voxels", dropped)
+                print(f"WARNING: {pc_id}: {dropped} voxels over the "
+                      f"{self.pad} cap were dropped", flush=True)
+            bucket = min(self.cfg.pad.bucket_for(len(pts)), self.pad)
+            todo.append((pc_id, pts, bucket))
+        by_bucket: Dict[int, list] = {}
+        for item in todo:
+            by_bucket.setdefault(item[2], []).append(item)
+        n_data = self.lift_mesh.shape["data"]
+        for bucket, items in by_bucket.items():
+            lift = self.sharded_lift_for_bucket(bucket)
+            for i in range(0, len(items), n_data):
+                chunk = items[i : i + n_data]
+                real = len(chunk)
+                chunk = chunk + [chunk[-1]] * (n_data - real)  # pad batch
+                points = np.zeros((n_data, bucket, 3), np.float32)
+                n_valid = np.zeros((n_data,), np.int32)
+                keys = np.stack(
+                    [
+                        dataset.get_kps(pc_id).astype(np.float32)
+                        for pc_id, _, _ in chunk
+                    ]
+                )
+                for j, (_, pts, _) in enumerate(chunk):
+                    n = min(len(pts), bucket)
+                    points[j, :n] = pts[:n]
+                    n_valid[j] = n
+                with self.lift_mesh:
+                    F = np.asarray(
+                        lift(
+                            self._fcgf_vars,
+                            jnp.asarray(points),
+                            jnp.asarray(n_valid),
+                            jnp.asarray(keys),
+                        )
+                    )
+                for j in range(real):
+                    np.save(os.path.join(lift_dir, f"{chunk[j][0]}.npy"), F[j])
+
     def extract_group_features(self, dataset, cache_dir: str) -> None:
         """Stage 1+2: FCGF group lifting + PartI descriptors per cloud."""
         base = _ensure(os.path.join(cache_dir, "Testset", dataset.name))
         lift_dir = _ensure(os.path.join(base, "FCGF_Input_Group_feature"))
         yoho_dir = _ensure(os.path.join(base, "YOHO_Output_Group_feature"))
-        for pc_id in dataset.pc_ids:
-            yoho_fn = os.path.join(yoho_dir, f"{pc_id}.npy")
-            if os.path.exists(yoho_fn):
-                continue
+        if self.use_sharded_lift:
+            self._sharded_prelift(dataset, lift_dir, yoho_dir)
+
+        todo = [
+            pc_id
+            for pc_id in dataset.pc_ids
+            if not os.path.exists(os.path.join(yoho_dir, f"{pc_id}.npy"))
+        ]
+
+        def prep(pc_id):
+            """Host side of one cloud (runs in a prefetch thread while
+            the device lifts the previous cloud — the async input
+            pipeline replacing the reference's 10 dataloader workers,
+            YOHO_testset.py:174-176)."""
             lift_fn = os.path.join(lift_dir, f"{pc_id}.npy")
             if os.path.exists(lift_fn):
-                F = np.load(lift_fn)
-            else:
-                pts = host_prevoxelize(
-                    dataset.get_pc(pc_id),
-                    self.cfg.backbone.voxel_size,
-                    self.pad,
-                )
-                keys = dataset.get_kps(pc_id).astype(np.float32)
-                pts_j, n, bucket = self._pad_points(pts)
+                return np.load(lift_fn), None
+            pts, dropped = host_prevoxelize(
+                dataset.get_pc(pc_id),
+                self.cfg.backbone.voxel_size,
+                self.pad,
+                return_dropped=True,
+            )
+            keys = dataset.get_kps(pc_id).astype(np.float32)
+            pts_j, n, bucket = self._pad_points(pts)
+            return None, (pts_j, n, bucket, keys, dropped)
+
+        from yoho_tpu.utils.prefetch import prefetch
+
+        it = prefetch(prep, todo)
+        for pc_id, (F, raw) in it:
+            lift_fn = os.path.join(lift_dir, f"{pc_id}.npy")
+            if F is None:
+                pts_j, n, bucket, keys, dropped = raw
+                if dropped:
+                    self.timer.count("prevoxelize_dropped_voxels", dropped)
+                    print(f"WARNING: {pc_id}: {dropped} voxels over the "
+                          f"{self.pad} cap were dropped", flush=True)
                 lift = self.lift_for_bucket(bucket)
                 F = np.asarray(lift(pts_j, n, self.jnp.asarray(keys)))
                 np.save(lift_fn, F)
             eqv, _ = self.part1_desc(self.jnp.asarray(F))
-            np.save(yoho_fn, np.asarray(eqv))
+            np.save(os.path.join(yoho_dir, f"{pc_id}.npy"), np.asarray(eqv))
+        if todo:
+            self.timer.count("extract_host_wait_ms", int(it.wait_s * 1000))
 
     def match_scene(self, dataset, cache_dir: str) -> None:
         """Stage 3+4: mutual matching + DR-index per pair."""
@@ -367,15 +488,19 @@ class PipelineRunner:
     ) -> Dict:
         """Full protocol: per-scene pipeline + FMR, then RR
         (reference Evaluator_PartI/II.eval)."""
+        from yoho_tpu.parallel.multihost import barrier, shard_items
         from yoho_tpu.utils.observability import StageTimer
 
         cfg = self.cfg
         FMRS, all_pair_fmrs = [], []
         t0 = time.time()
-        timer = StageTimer()
-        for scene, dataset in datasets.items():
-            if scene == "wholesetname":
-                continue
+        timer = self.timer  # shared: stage counters accumulate here too
+        scenes = [(s, d) for s, d in datasets.items() if s != "wholesetname"]
+        # Multi-host: each process runs the device stages for its scene
+        # shard (cache files land on the shared FS); single-process this
+        # is the full list. The FMR/RR pass below reads ALL scenes from
+        # cache after the barrier.
+        for scene, dataset in shard_items(scenes):
             if not dataset.name.startswith("3dLomatch"):
                 with timer("extract"):
                     self.extract_group_features(dataset, cache_dir)
@@ -386,6 +511,8 @@ class PipelineRunner:
                     self.extract_part2_poses(dataset, cache_dir)
             with timer("ransac"):
                 self.estimate_scene(dataset, cache_dir, estimator)
+        barrier("yoho-eval-stages")
+        for scene, dataset in scenes:
             with timer("fmr"):
                 fmr, pair_fmrs = self.feature_match_recall(
                     dataset, cache_dir, cfg.ransac.fmr_ratio, cfg.ransac.ok_match_dist_threshold

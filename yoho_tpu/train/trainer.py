@@ -87,25 +87,39 @@ class BaseTrainer:
 
         step_fn = jax.jit(self._make_step(optimizer))
         total_steps = cfg.epochs * steps_per_epoch
+        # The reference intervals (3k/6k steps, parses_partI.py:65-73)
+        # assume reference-scale runs; clamp them so short runs still
+        # log, validate and checkpoint instead of silently finishing
+        # with no model_best.pkl.
+        log_int = max(1, min(cfg.train_log_step, 500))
+        val_int = max(1, min(cfg.val_interval, max(total_steps // 2, 1)))
+        save_int = max(1, min(cfg.save_interval, val_int))
         running = []
         while int(state.step) < total_steps:
             for batch in train_batches():
                 state, metrics = step_fn(state, batch)
                 running.append(float(metrics["loss"]))
                 step = int(state.step)
-                if step % cfg.train_log_step == 0:
+                if step % log_int == 0:
                     self._log(f"step {step}/{total_steps} loss {np.mean(running):.5f}")
                     running = []
-                if step % cfg.val_interval == 0:
+                if step % val_int == 0:
                     para = self._validate(state, val_batches)
                     if self._is_better(para, best_para):
                         best_para = para
                         save_checkpoint(self.best_fn, state, best_para)
                         self._log(f"new best {best_para:.5f} @ step {step}")
-                if step % cfg.save_interval == 0:
+                if step % save_int == 0:
                     save_checkpoint(self.ckpt_fn, state, best_para)
                 if step >= total_steps:
                     break
+        # final validation: guarantees model_best.pkl exists and the
+        # last state competes (also runs when resuming a finished run)
+        para = self._validate(state, val_batches)
+        if self._is_better(para, best_para) or not os.path.exists(self.best_fn):
+            best_para = para
+            save_checkpoint(self.best_fn, state, best_para)
+            self._log(f"final best {best_para:.5f} @ step {int(state.step)}")
         save_checkpoint(self.ckpt_fn, state, best_para)
         return state, best_para
 

@@ -72,6 +72,7 @@ class StageTimer:
     def __init__(self):
         self.totals = defaultdict(float)
         self.counts = defaultdict(int)
+        self.counters = defaultdict(int)
 
     @contextlib.contextmanager
     def __call__(self, stage: str):
@@ -82,8 +83,14 @@ class StageTimer:
             self.totals[stage] += time.perf_counter() - t0
             self.counts[stage] += 1
 
+    def count(self, name: str, n: int = 1) -> None:
+        """Accumulate a saturation/event counter (e.g. dropped voxels).
+        Nonzero counters are included in ``report()`` so silent
+        truncation becomes visible in results.log / eval JSON."""
+        self.counters[name] += int(n)
+
     def report(self) -> Dict[str, Dict[str, float]]:
-        return {
+        out = {
             k: {
                 "total_s": round(self.totals[k], 4),
                 "count": self.counts[k],
@@ -91,6 +98,9 @@ class StageTimer:
             }
             for k in self.totals
         }
+        if self.counters:
+            out["counters"] = dict(self.counters)
+        return out
 
     def __str__(self):
         return " | ".join(
