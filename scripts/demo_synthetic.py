@@ -34,6 +34,11 @@ def main() -> int:
     # it). Default 0 keeps this an exactness probe of the whole
     # pipeline; set e.g. 0.5 to eyeball robustness instead.
     ap.add_argument("--translation", type=float, default=0.0)
+    ap.add_argument(
+        "--vis-dir", default=None,
+        help="write registration.ply/.png here (reference "
+        "draw_registration_result analog, utils/utils_o3d.py)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -159,6 +164,20 @@ def main() -> int:
         f"RANSAC: overlap={float(res.overlap):.3f} R_err={r_err:.3f}deg "
         f"t_err={t_err:.4f}m degenerate={bool(res.degenerate)}"
     )
+    if args.vis_dir:
+        import os
+
+        from yoho_tpu.utils.vis import draw_registration_result_with_keys
+
+        os.makedirs(args.vis_dir, exist_ok=True)
+        T4 = np.eye(4)
+        T4[:3] = T
+        out = draw_registration_result_with_keys(
+            cloud1, cloud0, keys1, keys0, T4,
+            out_ply=os.path.join(args.vis_dir, "registration.ply"),
+            out_png=os.path.join(args.vis_dir, "registration.png"),
+        )
+        print(f"visualization: {out}")
     ok = r_err < 2.0 and t_err < 0.05 and correct > 0.8
     print("DEMO", "PASS" if ok else "FAIL")
     return 0 if ok else 1

@@ -101,10 +101,18 @@ def main():
         ts.generate_rotated_features(lift_fn, datasets, args.output_dir, pad)
 
     if args.stage in ("all", "bake"):
-        n = ts.bake_train_batches(datasets, args.output_dir, val_scenes)
-        print(f"baked {n} train batches")
-        m = ts.bake_val_batches(datasets, args.output_dir, val_scenes)
-        print(f"baked {m} val batches")
+        # exists-skip like every other stage (idempotent reruns/resume)
+        tv = os.path.join(args.output_dir, "Train_val_list")
+        if os.path.exists(os.path.join(tv, "train.pkl")):
+            print("train batches already baked; skipping")
+        else:
+            n = ts.bake_train_batches(datasets, args.output_dir, val_scenes)
+            print(f"baked {n} train batches")
+        if os.path.exists(os.path.join(tv, "val.pkl")):
+            print("val batches already baked; skipping")
+        else:
+            m = ts.bake_val_batches(datasets, args.output_dir, val_scenes)
+            print(f"baked {m} val batches")
 
 
 if __name__ == "__main__":
