@@ -27,16 +27,29 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 VAL = "scene_05"  # last synth_train scene held out for PartI/II validation
 
 
+STAGE_TIMEOUT = 0.0  # seconds; 0 = none (set by --stage-timeout)
+
+
 def run(cmd, **kw):
     print(f"\n=== {' '.join(cmd)}", flush=True)
     t0 = time.time()
     # append, don't clobber: PYTHONPATH may carry the TPU PJRT plugin
     prev = os.environ.get("PYTHONPATH", "")
     env = dict(os.environ, PYTHONPATH=f"{REPO}:{prev}" if prev else REPO)
-    r = subprocess.run(cmd, cwd=REPO, env=env, **kw)
-    print(f"=== done rc={r.returncode} in {time.time()-t0:.0f}s", flush=True)
-    if r.returncode != 0:
-        sys.exit(r.returncode)
+    try:
+        r = subprocess.run(
+            cmd, cwd=REPO, env=env,
+            timeout=STAGE_TIMEOUT or None, **kw,
+        )
+        rc = r.returncode
+    except subprocess.TimeoutExpired:
+        # a wedged device session hangs forever on a TCP recv; fail the
+        # stage fast so reruns (idempotent caches) can resume
+        print(f"=== TIMEOUT after {STAGE_TIMEOUT:.0f}s", flush=True)
+        sys.exit(124)
+    print(f"=== done rc={rc} in {time.time()-t0:.0f}s", flush=True)
+    if rc != 0:
+        sys.exit(rc)
 
 
 def main():
@@ -49,12 +62,19 @@ def main():
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--max-iter", type=int, default=1000)
     ap.add_argument(
+        "--stage-timeout", type=float, default=0,
+        help="per-stage wall-clock cap in seconds (0 = none); stages "
+        "are idempotent so a timed-out run can simply be relaunched",
+    )
+    ap.add_argument(
         "--stage",
         default="all",
         choices=["all", "corpus", "fcgf", "trainset", "part1", "part2",
                  "eval", "eval_untrained", "results"],
     )
     args = ap.parse_args()
+    global STAGE_TIMEOUT
+    STAGE_TIMEOUT = args.stage_timeout
     py = sys.executable
     stages = (
         ["corpus", "fcgf", "trainset", "part1", "part2", "eval",
