@@ -1,12 +1,14 @@
-"""Per-layer sparse-conv benchmark across variants, at the real
+"""Per-layer sparse-conv benchmark across XLA variants, at the real
 ResUNetBN2C shapes the lift runs (bg=4 x nv=16384 buckets).
 
-Compares the XLA paths ('unrolled', 'im2col', 'einsum', 'einsum_bf16')
-against the fused Pallas kernel where its VMEM residency check passes —
-the measurement the Pallas-vs-XLA production decision rests on
+This is the measurement the production conv-variant decision rests on
 (the reference analog being replaced is the gather-GEMM-scatter CUDA
 loop, ``/root/reference/MinkowskiEngine/src/convolution_kernel.cu:
-115-180``).
+115-180``). A fused Pallas gather->MXU kernel used to be the fifth
+column; it was removed after this script showed (a) Mosaic cannot lower
+its in-kernel row gather at any layer shape and (b) the XLA variants
+are all within ~15% of each other — see docs/PERF.md for the committed
+numbers and rationale.
 
 Run on the real chip: PYTHONPATH=/root/repo python scripts/profile_conv3.py
 """
@@ -48,22 +50,35 @@ def main():
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from yoho_tpu.ops.kernel_map import KernelMap
-    from yoho_tpu.ops.pallas_conv import fits_vmem
     from yoho_tpu.ops.sparse_conv import sparse_conv
 
     rng = np.random.default_rng(0)
     print(f"backend={jax.default_backend()} devices={jax.devices()}")
 
-    def bench(fn, *a, reps=20):
-        out = jax.block_until_ready(fn(*a))
+    def bench(variant, feats, kmap, w, reps=20):
+        """Time `reps` chained convs inside one jitted lax.scan.
+
+        Each iteration's features depend on the previous output
+        (negligible perturbation), so the device MUST execute every
+        conv — a plain enqueue-N-identical-calls loop measured absurd
+        >600 TFLOP/s through the remote-execution tunnel (results of
+        identical dispatches are evidently deduplicated), which is how
+        an earlier version of this script mis-called the totals."""
+
+        def body(f, _):
+            o = sparse_conv(f, kmap, w, variant=variant)
+            return f * (1.0 + 1e-30 * o[0, 0]), ()
+
+        @jax.jit
+        def run(f):
+            return jax.lax.scan(body, f, None, length=reps)[0]
+
+        jax.block_until_ready(run(feats))  # compile + warmup
         t0 = time.time()
-        for _ in range(reps):
-            out = fn(*a)
-        jax.block_until_ready(out)
-        del out
+        jax.block_until_ready(run(feats))
         return (time.time() - t0) / reps * 1e3
 
-    variants = ["unrolled", "im2col", "einsum", "einsum_bf16", "pallas"]
+    variants = ["unrolled", "im2col", "einsum", "einsum_bf16"]
     header = f"{'layer':16s} " + " ".join(f"{v:>12s}" for v in variants)
     print(header)
     results = {}
@@ -81,14 +96,8 @@ def main():
 
         row = []
         for v in variants:
-            if v == "pallas" and not fits_vmem((N, Cin), (K, M), (K, Cin, Cout)):
-                row.append(None)
-                continue
             try:
-                f = jax.jit(
-                    lambda fe, km, we, _v=v: sparse_conv(fe, km, we, variant=_v)
-                )
-                ms = bench(f, feats, kmap, w)
+                ms = bench(v, feats, kmap, w)
                 row.append(ms)
             except Exception as e:  # Mosaic compile failures etc.
                 print(f"  {name} {v}: FAILED {type(e).__name__}: {e}", flush=True)
@@ -99,7 +108,7 @@ def main():
             for x in row
         )
         best = min([x for x in row if isinstance(x, float) and x == x])
-        print(f"{name:16s} {cells}   best {flops/best/1e9:7.1f} GFLOP/s", flush=True)
+        print(f"{name:16s} {cells}   best {flops/best/1e9:7.2f} TFLOP/s", flush=True)
 
     # totals per variant over all layers (missing -> unrolled fallback)
     print("\ntotals (fallback to unrolled where a variant is ineligible):")

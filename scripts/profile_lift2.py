@@ -123,19 +123,36 @@ def main():
 
     f = phase_c(plan)
 
-    def timeit(fn, *a, reps=5, warm=2):
-        for _ in range(warm):
-            jax.block_until_ready(fn(*a))
-        t0 = time.time()
-        for _ in range(reps):
-            out = fn(*a)
-        jax.block_until_ready(out)
-        return (time.time() - t0) / reps
+    # Distinct input variants per rep: the remote-execution tunnel
+    # deduplicates identical dispatches (same executable + same
+    # buffers), so timing N identical calls measures ~0. Cycle jittered
+    # clouds and block every rep instead.
+    variants = []
+    for s in range(3):
+        jit_pts = jnp.asarray(
+            pts_pad + rng.normal(scale=1e-4, size=pts_pad.shape).astype(np.float32)
+            * (np.arange(n_pad) < num_points)[:, None]
+        )
+        g_v, first_v, fp_v = phase_a(jit_pts, Rb)
+        p_v = phase_b(g_v)
+        f_v = phase_c(p_v)
+        variants.append((jit_pts, g_v, first_v, fp_v, p_v, f_v))
 
-    t_a = timeit(phase_a, pts_j, Rb)
-    t_b = timeit(phase_b, grid)
-    t_c = timeit(phase_c, plan)
-    t_d = timeit(phase_d, plan, grid, first, flat_pts, f, Rb)
+    def timeit(fn, argpick, reps=6):
+        for s in range(2):  # warm every variant's shapes (one program)
+            jax.block_until_ready(fn(*argpick(variants[s])))
+        ts = []
+        for i in range(reps):
+            a = argpick(variants[i % len(variants)])
+            t0 = time.time()
+            jax.block_until_ready(fn(*a))
+            ts.append(time.time() - t0)
+        return float(np.median(ts))
+
+    t_a = timeit(phase_a, lambda v: (v[0], Rb))
+    t_b = timeit(phase_b, lambda v: (v[1],))
+    t_c = timeit(phase_c, lambda v: (v[4],))
+    t_d = timeit(phase_d, lambda v: (v[4], v[1], v[2], v[3], v[5], Rb))
     scale = 60 / bg
     tot = (t_a + t_b + t_c + t_d) * scale
     print(f"bg={bg} n_pad={n_pad} nv={nv} bg*nv={bg*nv} num_points={num_points}")

@@ -1,6 +1,6 @@
 """yoho_tpu — a TPU-native point-cloud registration framework.
 
-A from-scratch JAX/XLA/Pallas implementation of the full YOHO capability
+A from-scratch JAX/XLA implementation of the full YOHO capability
 surface (rotation-equivariant descriptors over the icosahedral group,
 sparse-voxel FCGF backbone, mutual-NN matching, rotation-guided RANSAC,
 Redwood-protocol evaluation), re-designed TPU-first:

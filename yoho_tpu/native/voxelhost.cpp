@@ -1,6 +1,6 @@
 // Host-side native runtime: voxel dedup, radius search, local PCA.
 //
-// The TPU compute path is JAX/XLA/Pallas; this is the native tier the
+// The TPU compute path is JAX/XLA; this is the native tier the
 // reference implements in MinkowskiEngine C++ (hash-map coordinate
 // dedup, src/coordinate_map_cpu.hpp:285-712; neighbor search the
 // reference delegates to open3d KD-trees). Exposed as extern "C" for

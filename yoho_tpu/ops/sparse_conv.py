@@ -10,8 +10,16 @@ the conv is a pure gather followed by a single
 
 matmul: no scatter in the forward pass, no atomics, bitwise
 deterministic. The backward pass under ``jax.grad`` is a matmul plus a
-segment scatter-add that XLA lowers efficiently; a fused Pallas kernel
-can replace both later without changing this interface.
+segment scatter-add that XLA lowers efficiently.
+
+A fused Pallas kernel (VMEM-resident features, in-kernel gather feeding
+the MXU) was implemented, driven on the real chip, and removed: Mosaic's
+gather lowering only supports full-shape ``take_along_axis`` row
+permutations, not a (tile,)-row gather from a resident (N, Cin) matrix,
+so the kernel cannot compile at any ResUNet layer shape; and honest
+chained-scan measurements show all XLA variants within ~15% of each
+other anyway (per-layer table in ``docs/PERF.md``,
+``scripts/profile_conv3.py``).
 """
 
 from __future__ import annotations
@@ -45,11 +53,13 @@ def sparse_conv(
       variant: 'im2col' (gather -> (M, K*Cin) @ (K*Cin, Cout)),
         'einsum' (gather -> kmc,kco->mo contraction, no relayout),
         'einsum_bf16' (same with bfloat16 operands, f32 accumulation),
-        'pallas' (fused VMEM-resident gather->MXU->accumulate kernel,
-        ops/pallas_conv.py; silently falls back to 'unrolled' when the
-        feature matrix exceeds the VMEM budget).
+        'unrolled' (K monotone gathers + K MXU matmuls, accumulated).
         An explicit per-call variant always wins; $YOHO_CONV_VARIANT
         (read per call, not at import) only fills in the default.
+        A fused Pallas gather->GEMM kernel was built, measured, and
+        removed: Mosaic cannot lower tiled row-gathers from a
+        VMEM-resident matrix, and the XLA variants are within ~15% of
+        each other at every ResUNet layer shape (docs/PERF.md).
 
     Returns:
       (M, Cout) output features (padding rows = bias or 0).
@@ -57,21 +67,6 @@ def sparse_conv(
     variant = variant or os.environ.get("YOHO_CONV_VARIANT") or "im2col"
     K, M = kmap.in_idx.shape
     Cin = feats.shape[1]
-
-    if variant == "pallas":
-        from yoho_tpu.ops import pallas_conv as pc
-
-        if pc.fits_vmem(feats.shape, kmap.in_idx.shape, weights.shape):
-            out = pc.pallas_sparse_conv(
-                feats.astype(jnp.float32),
-                kmap.in_idx,
-                kmap.valid.astype(jnp.float32),
-                weights.astype(jnp.float32),
-            )
-            if bias is not None:
-                out = out + bias[None, :]
-            return out
-        variant = "unrolled"
 
     if variant == "unrolled":
         # K per-offset gathers (each monotone over m -> page-friendly) +
