@@ -1,0 +1,108 @@
+"""Export slim, committable release checkpoints.
+
+Training checkpoints (``model/*/model_best.pkl``) carry Adam moments —
+3x the parameter payload — and ``model/`` is gitignored, which is how
+round 2's trained FCGF was lost between rounds. This script rewrites
+each best checkpoint with zeroed optimizer state and gzip compression
+into ``model_release/`` (same layout, loadable by every consumer via
+``load_checkpoint``'s magic-byte sniffing; resuming *training* from a
+release checkpoint restarts the optimizer, which is the documented
+trade).
+
+Usage: python scripts/export_release.py [--model-dir ./model]
+         [--out-dir ./model_release]
+"""
+
+from __future__ import annotations
+
+import argparse
+import gzip
+import os
+import pickle
+import sys
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model-dir", default="./model")
+    ap.add_argument("--out-dir", default="./model_release")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_platforms", "cpu")
+    import optax
+    from flax import serialization
+
+    from yoho_tpu.config import default_config
+    from yoho_tpu.models.fcgf import SparseResUNet
+    from yoho_tpu.models.part1 import PartINetwork
+    from yoho_tpu.models.part2 import PartIINetwork
+    from yoho_tpu.models.plan import build_unet_plan
+    from yoho_tpu.ops.voxel import build_grid
+    from yoho_tpu.train.steps import init_train_state
+    from yoho_tpu.train.trainer import load_checkpoint
+
+    cfg = default_config()
+
+    def fcgf_template():
+        model = SparseResUNet(cfg.backbone)
+        pts = jnp.zeros((256, 3), jnp.float32)
+        grid, _ = jax.jit(lambda p: build_grid(p, cfg.backbone.voxel_size, 10))(pts)
+        plan = jax.jit(
+            lambda g: build_unet_plan(g, cfg.backbone.conv1_kernel_size)
+        )(grid)
+        return model.init(
+            jax.random.PRNGKey(0), jnp.ones((256, 1), jnp.float32), plan, False
+        )
+
+    def part1_template():
+        return PartINetwork(cfg.part1).init(
+            jax.random.PRNGKey(0), jnp.zeros((8, 60, 32), jnp.float32), False
+        )
+
+    def part2_template():
+        f = jnp.zeros((8, 60, 32), jnp.float32)
+        return PartIINetwork(cfg.part2).init(
+            jax.random.PRNGKey(0), f, f, f, f, jnp.zeros(8, jnp.int32), False
+        )
+
+    parts = {
+        "Backbone": fcgf_template,
+        "PartI": part1_template,
+        "PartII": part2_template,
+    }
+    for name, make_template in parts.items():
+        src = os.path.join(args.model_dir, name, "model_best.pkl")
+        if not os.path.exists(src):
+            print(f"skip {name}: no {src}")
+            continue
+        # trainers use optax.adam(<callable schedule>), whose opt_state
+        # carries a ScaleByScheduleState — match that structure
+        template = init_train_state(
+            make_template(), optax.adam(optax.constant_schedule(1e-4))
+        )
+        state, best = load_checkpoint(src, template)
+        slim = state._replace(
+            opt_state=jax.tree.map(jnp.zeros_like, state.opt_state)
+        )
+        payload = {
+            "state": serialization.to_bytes(slim),
+            "best_para": best,
+            "step": int(state.step),
+        }
+        dst_dir = os.path.join(args.out_dir, name)
+        os.makedirs(dst_dir, exist_ok=True)
+        dst = os.path.join(dst_dir, "model_best.pkl")
+        with gzip.open(dst, "wb", compresslevel=6) as f:
+            pickle.dump(payload, f)
+        print(
+            f"{name}: {os.path.getsize(src)/1e6:.1f} MB -> "
+            f"{os.path.getsize(dst)/1e6:.1f} MB (step {int(state.step)}, "
+            f"best {best})"
+        )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -57,8 +57,10 @@ def main():
     ap.add_argument("--origin-dir", default="./data/origin_data")
     ap.add_argument("--cache-root", default="./data/YOHO_SYNTH")
     ap.add_argument("--model-dir", default="./model")
-    ap.add_argument("--fcgf-steps", type=int, default=4000)
-    ap.add_argument("--fcgf-seconds", type=float, default=900)
+    # Steps are cumulative across rounds via the model_release bootstrap
+    # below — a resumed run continues to the target, it does not re-run.
+    ap.add_argument("--fcgf-steps", type=int, default=8000)
+    ap.add_argument("--fcgf-seconds", type=float, default=1800)
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--max-iter", type=int, default=1000)
     ap.add_argument(
@@ -91,6 +93,23 @@ def main():
         print(f"corpus: {out}", flush=True)
 
     if "fcgf" in stages:
+        # Bootstrap from committed release checkpoints (model_release/,
+        # scripts/export_release.py): model/ and data/ are gitignored,
+        # so a fresh round otherwise restarts FCGF from step 0. The
+        # release file has zeroed Adam moments — training resumes with
+        # restarted optimizer state, which beats retraining.
+        for part in ("Backbone", "PartI", "PartII"):
+            rel = os.path.join(REPO, "model_release", part, "model_best.pkl")
+            dst_dir = os.path.join(args.model_dir, part)
+            if os.path.exists(rel) and not os.path.exists(
+                os.path.join(dst_dir, "model.pkl")
+            ):
+                import shutil
+
+                os.makedirs(dst_dir, exist_ok=True)
+                shutil.copy(rel, os.path.join(dst_dir, "model.pkl"))
+                shutil.copy(rel, os.path.join(dst_dir, "model_best.pkl"))
+                print(f"bootstrapped {part} from model_release/", flush=True)
         run([
             py, "scripts/train_fcgf.py", "--dataset", "synth_train",
             "--origin-dir", args.origin_dir, "--model-dir", args.model_dir,

@@ -217,6 +217,18 @@ def main():
                 save_checkpoint(best_fn, state, best)
     print(f"host-prep wait total {batch_iter.wait_s:.1f}s (device idle on input)")
     save_checkpoint(ckpt, state, best)
+    # Final validation: a wall-clock cap can fire mid-interval, and
+    # without this the last val_interval-1 steps of training are never
+    # candidates for model_best (a 3,398-step run once shipped its
+    # step-2000 checkpoint).
+    if int(state.step) % args.val_interval != 0:
+        cur = val_loss(state)
+        if np.isnan(cur):
+            cur = float(np.mean(running[-100:])) if running else best
+        print(f"final val_loss {cur:.4f} (best {best:.4f})", flush=True)
+        if cur < best:
+            best = cur
+            save_checkpoint(best_fn, state, best)
     if not os.path.exists(best_fn):
         save_checkpoint(best_fn, state, best)
 

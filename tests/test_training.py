@@ -110,3 +110,38 @@ def test_bake_and_iterate_batches(tmp_path, rng):
         np.savez(d / f"{i}.npz", feats0=np.full((2, 2), i, np.float32))
     seen = sorted(int(b["feats0"][0, 0]) for b in batch_iterator(str(d)))
     assert seen == [0, 1, 2]
+
+
+def test_gzip_release_checkpoint_roundtrip(tmp_path, rng):
+    """Release checkpoints (scripts/export_release.py) are gzip pickles
+    with zeroed optimizer moments; load_checkpoint must sniff the magic
+    bytes and restore identical params/batch_stats."""
+    import gzip
+    import pickle
+
+    import optax
+    from flax import serialization
+
+    from yoho_tpu.train.trainer import load_checkpoint, save_checkpoint
+
+    cfg = default_config()
+    model = PartINetwork(cfg.part1)
+    feats = jnp.asarray(rng.normal(size=(4, 60, 32)).astype(np.float32))
+    v0 = model.init(jax.random.PRNGKey(0), feats, False)
+    opt = optax.adam(optax.constant_schedule(1e-4))
+    state = init_train_state(v0, opt)
+    plain = str(tmp_path / "model_best.pkl")
+    save_checkpoint(plain, state, 0.5)
+
+    slim = state._replace(opt_state=jax.tree.map(jnp.zeros_like, state.opt_state))
+    gz = str(tmp_path / "release.pkl")
+    with gzip.open(gz, "wb") as f:
+        pickle.dump(
+            {"state": serialization.to_bytes(slim), "best_para": 0.5, "step": 0}, f
+        )
+
+    s1, b1 = load_checkpoint(plain, state)
+    s2, b2 = load_checkpoint(gz, state)
+    assert b1 == b2 == 0.5
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

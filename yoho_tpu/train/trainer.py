@@ -47,8 +47,21 @@ def save_checkpoint(path: str, state: TrainState, best_para: float) -> None:
 
 
 def load_checkpoint(path: str, template: TrainState):
+    """Load a training or release checkpoint.
+
+    Transparently handles gzip-compressed payloads (release checkpoints
+    written by ``scripts/export_release.py`` zero the optimizer moments
+    and gzip the pickle so trained weights are small enough to commit)."""
     with open(path, "rb") as f:
-        payload = pickle.load(f)
+        magic = f.read(2)
+        f.seek(0)
+        if magic == b"\x1f\x8b":
+            import gzip
+
+            with gzip.open(f) as gz:
+                payload = pickle.load(gz)
+        else:
+            payload = pickle.load(f)
     state = serialization.from_bytes(template, payload["state"])
     return state, payload["best_para"]
 
