@@ -134,15 +134,10 @@ def main():
     fcgf_ckpt = os.path.join(model_dir, "Backbone", "model_best.pkl")
     p1_ckpt = os.path.join(model_dir, "PartI", "model_best.pkl")
     if os.path.exists(fcgf_ckpt) and os.path.exists(p1_ckpt):
-        import optax
+        from yoho_tpu.train.trainer import load_inference_variables
 
-        from yoho_tpu.train.steps import init_train_state
-        from yoho_tpu.train.trainer import load_checkpoint
-
-        st, _ = load_checkpoint(fcgf_ckpt, init_train_state(fcgf_vars, optax.sgd(1.0)))
-        fcgf_vars = {"params": st.params, "batch_stats": st.batch_stats}
-        st, _ = load_checkpoint(p1_ckpt, init_train_state(p1_vars, optax.sgd(1.0)))
-        p1_vars = {"params": st.params, "batch_stats": st.batch_stats}
+        fcgf_vars, _ = load_inference_variables(fcgf_ckpt, fcgf_vars)
+        p1_vars, _ = load_inference_variables(p1_ckpt, p1_vars)
         weights = "trained"
     log(f"weights: {weights}")
 

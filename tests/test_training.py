@@ -145,3 +145,16 @@ def test_gzip_release_checkpoint_roundtrip(tmp_path, rng):
     assert b1 == b2 == 0.5
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # inference loads need no optimizer template at all (bench/simple
+    # crashed with a template whose opt_state tree didn't match the
+    # saved Adam state — this is the regression pin)
+    from yoho_tpu.train.trainer import load_inference_variables
+
+    for path in (plain, gz):
+        vars_, bp = load_inference_variables(path, v0)
+        assert bp == 0.5
+        for a, b in zip(
+            jax.tree.leaves(vars_["params"]), jax.tree.leaves(state.params)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

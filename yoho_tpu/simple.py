@@ -32,16 +32,12 @@ def _load_vars(model, init_args, ckpt, allow_random: bool):
     """
     import jax
 
-    from yoho_tpu.train.steps import init_train_state
-    from yoho_tpu.train.trainer import load_checkpoint
+    from yoho_tpu.train.trainer import load_inference_variables
 
     v0 = model.init(jax.random.PRNGKey(0), *init_args)
     if os.path.exists(ckpt):
-        import optax
-
-        template = init_train_state(v0, optax.sgd(1.0))
-        state, _ = load_checkpoint(ckpt, template)
-        return {"params": state.params, "batch_stats": state.batch_stats}
+        vars_, _ = load_inference_variables(ckpt, v0)
+        return vars_
     if not allow_random:
         raise FileNotFoundError(
             f"no checkpoint at {ckpt} (pass allow_random=True to use "

@@ -46,12 +46,11 @@ def save_checkpoint(path: str, state: TrainState, best_para: float) -> None:
     os.replace(tmp, path)
 
 
-def load_checkpoint(path: str, template: TrainState):
-    """Load a training or release checkpoint.
-
-    Transparently handles gzip-compressed payloads (release checkpoints
-    written by ``scripts/export_release.py`` zero the optimizer moments
-    and gzip the pickle so trained weights are small enough to commit)."""
+def _read_payload(path: str) -> dict:
+    """Read a checkpoint payload; transparently handles gzip-compressed
+    release checkpoints (``scripts/export_release.py`` zeroes the
+    optimizer moments and gzips the pickle so trained weights are small
+    enough to commit)."""
     with open(path, "rb") as f:
         magic = f.read(2)
         f.seek(0)
@@ -59,11 +58,36 @@ def load_checkpoint(path: str, template: TrainState):
             import gzip
 
             with gzip.open(f) as gz:
-                payload = pickle.load(gz)
-        else:
-            payload = pickle.load(f)
+                return pickle.load(gz)
+        return pickle.load(f)
+
+
+def load_checkpoint(path: str, template: TrainState):
+    """Load a full training (or release) checkpoint into a TrainState
+    template — the template's opt_state tree must match the one saved
+    (optax.adam with a callable schedule everywhere in this repo)."""
+    payload = _read_payload(path)
     state = serialization.from_bytes(template, payload["state"])
     return state, payload["best_para"]
+
+
+def load_inference_variables(path: str, variables: dict):
+    """Restore only params/batch_stats from any checkpoint, without
+    constructing an optimizer template (inference consumers: bench,
+    simple API). ``variables`` is a ``model.init(...)`` dict used as the
+    structure template."""
+    payload = _read_payload(path)
+    raw = serialization.msgpack_restore(payload["state"])
+    out = {
+        "params": serialization.from_state_dict(
+            variables["params"], raw["params"]
+        )
+    }
+    if "batch_stats" in variables or raw.get("batch_stats"):
+        out["batch_stats"] = serialization.from_state_dict(
+            variables.get("batch_stats", {}), raw.get("batch_stats", {})
+        )
+    return out, payload["best_para"]
 
 
 class BaseTrainer:
