@@ -342,11 +342,16 @@ def generate_corpus(
     root: str,
     test_scenes: int = 2,
     test_frags: int = 8,
-    train_scenes: int = 6,
-    train_frags: int = 6,
+    train_scenes: int = 16,
+    train_frags: int = 8,
     seed: int = 0,
 ) -> Dict[str, Dict[str, int]]:
-    """Emit synth_test/* (local frames) and synth_train/* (aligned)."""
+    """Emit synth_test/* (local frames) and synth_train/* (aligned).
+
+    Train-split size is the measured accuracy bottleneck: FCGF overfits
+    the old 6x6-fragment corpus (37 pairs) by step ~2k (RESULTS.md), so
+    the default is 16 scenes x 8 fragments (~3-4x the pairs). Test split
+    stays fixed to keep eval cost and round-over-round comparability."""
     out = {"synth_test": {}, "synth_train": {}}
     for s in range(test_scenes):
         name = f"scene_{s:02d}"
