@@ -30,6 +30,57 @@ VAL = "scene_05"  # last synth_train scene held out for PartI/II validation
 STAGE_TIMEOUT = 0.0  # seconds; 0 = none (set by --stage-timeout)
 
 
+def fingerprint(paths) -> str:
+    """Stable content hash over a list of files (size + first 64 KiB
+    each): cheap enough for checkpoints, sensitive enough to detect a
+    corpus or weight change. Used to invalidate derived caches whose
+    inputs changed — the exists-skip idempotency everywhere else is
+    blind to *stale* outputs (round-3 advisor finding)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for p in sorted(paths):
+        h.update(p.encode())
+        if os.path.isfile(p):
+            h.update(str(os.path.getsize(p)).encode())
+            with open(p, "rb") as f:
+                h.update(f.read(65536))
+        else:
+            h.update(b"missing")
+    return h.hexdigest()[:16]
+
+
+def check_fp(marker: str, fp: str, stale_paths) -> None:
+    """If ``marker`` doesn't hold ``fp``, delete ``stale_paths`` (dirs or
+    files) and write the marker so the caller's stage regenerates them."""
+    import shutil
+
+    old = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            old = f.read().strip()
+    if old == fp:
+        return
+    for p in stale_paths:
+        if os.path.isdir(p):
+            print(f"stale (inputs changed): removing {p}", flush=True)
+            shutil.rmtree(p)
+        elif os.path.exists(p):
+            print(f"stale (inputs changed): removing {p}", flush=True)
+            os.remove(p)
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w") as f:
+        f.write(fp)
+
+
+def corpus_fingerprint(origin_dir: str) -> str:
+    import glob
+
+    return fingerprint(
+        glob.glob(os.path.join(origin_dir, "synth_*", "scene_*", ".done"))
+    )
+
+
 def run(cmd, **kw):
     print(f"\n=== {' '.join(cmd)}", flush=True)
     t0 = time.time()
@@ -59,9 +110,9 @@ def main():
     ap.add_argument("--model-dir", default="./model")
     # Steps are cumulative across rounds via the model_release bootstrap
     # below — a resumed run continues to the target, it does not re-run.
-    ap.add_argument("--fcgf-steps", type=int, default=8000)
-    ap.add_argument("--fcgf-seconds", type=float, default=1800)
-    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--fcgf-steps", type=int, default=12000)
+    ap.add_argument("--fcgf-seconds", type=float, default=3600)
+    ap.add_argument("--epochs", type=int, default=5)
     ap.add_argument("--max-iter", type=int, default=1000)
     ap.add_argument(
         "--stage-timeout", type=float, default=0,
@@ -85,6 +136,26 @@ def main():
         else [args.stage]
     )
 
+    # Bootstrap from committed release checkpoints (model_release/,
+    # scripts/export_release.py) BEFORE any stage dispatch, so that
+    # --stage part1/part2/eval on a fresh clone also sees the committed
+    # weights (round-3 advisor finding: it only ran under 'fcgf').
+    # model/ and data/ are gitignored, so a fresh round otherwise
+    # restarts everything from step 0. The release file has zeroed Adam
+    # moments — training resumes with restarted optimizer state.
+    for part in ("Backbone", "PartI", "PartII"):
+        rel = os.path.join(REPO, "model_release", part, "model_best.pkl")
+        dst_dir = os.path.join(args.model_dir, part)
+        if os.path.exists(rel) and not os.path.exists(
+            os.path.join(dst_dir, "model.pkl")
+        ):
+            import shutil
+
+            os.makedirs(dst_dir, exist_ok=True)
+            shutil.copy(rel, os.path.join(dst_dir, "model.pkl"))
+            shutil.copy(rel, os.path.join(dst_dir, "model_best.pkl"))
+            print(f"bootstrapped {part} from model_release/", flush=True)
+
     if "corpus" in stages:
         sys.path.insert(0, REPO)
         from yoho_tpu.data.synthetic import generate_corpus
@@ -92,54 +163,70 @@ def main():
         out = generate_corpus(args.origin_dir)
         print(f"corpus: {out}", flush=True)
 
-    if "fcgf" in stages:
-        # Bootstrap from committed release checkpoints (model_release/,
-        # scripts/export_release.py): model/ and data/ are gitignored,
-        # so a fresh round otherwise restarts FCGF from step 0. The
-        # release file has zeroed Adam moments — training resumes with
-        # restarted optimizer state, which beats retraining.
-        for part in ("Backbone", "PartI", "PartII"):
-            rel = os.path.join(REPO, "model_release", part, "model_best.pkl")
-            dst_dir = os.path.join(args.model_dir, part)
-            if os.path.exists(rel) and not os.path.exists(
-                os.path.join(dst_dir, "model.pkl")
-            ):
-                import shutil
+    train_cache = os.path.join(args.cache_root, "train_cache")
+    bb_best = os.path.join(args.model_dir, "Backbone", "model_best.pkl")
+    p1_best = os.path.join(args.model_dir, "PartI", "model_best.pkl")
+    p2_best = os.path.join(args.model_dir, "PartII", "model_best.pkl")
 
-                os.makedirs(dst_dir, exist_ok=True)
-                shutil.copy(rel, os.path.join(dst_dir, "model.pkl"))
-                shutil.copy(rel, os.path.join(dst_dir, "model_best.pkl"))
-                print(f"bootstrapped {part} from model_release/", flush=True)
+    if "fcgf" in stages:
+        # A corpus change replaces the held-out val pairs; the stored
+        # best val loss (measured on the old pairs) must not gate
+        # model_best saves against the new ones.
+        fp = corpus_fingerprint(args.origin_dir)
+        marker = os.path.join(args.model_dir, "Backbone", ".corpus_fp")
+        reset = not (
+            os.path.exists(marker) and open(marker).read().strip() == fp
+        )
         run([
             py, "scripts/train_fcgf.py", "--dataset", "synth_train",
             "--origin-dir", args.origin_dir, "--model-dir", args.model_dir,
             "--val-scenes", VAL, "--steps", str(args.fcgf_steps),
             "--max-seconds", str(args.fcgf_seconds),
-        ])
+        ] + (["--reset-best"] if reset else []))
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w") as f:
+            f.write(fp)
 
     if "trainset" in stages:
+        # The lifted features (and everything baked from them) are a
+        # function of (corpus, backbone weights): invalidate the cache
+        # AND the downstream PartI/PartII models when either changed.
+        fp = corpus_fingerprint(args.origin_dir) + fingerprint([bb_best])
+        check_fp(
+            os.path.join(args.cache_root, ".train_cache_fp"), fp,
+            [train_cache,
+             os.path.join(args.model_dir, "PartI"),
+             os.path.join(args.model_dir, "PartII")],
+        )
         run([
             py, "scripts/trainset_gen.py", "--dataset", "synth_train",
             "--origin-dir", args.origin_dir, "--model-dir", args.model_dir,
             "--val-scenes", VAL,
-            "--output-dir", os.path.join(args.cache_root, "train_cache"),
+            "--output-dir", train_cache,
         ])
 
     if "part1" in stages:
         run([
             py, "scripts/train.py", "--part", "PartI",
-            "--data-dir", os.path.join(args.cache_root, "train_cache"),
+            "--data-dir", train_cache,
             "--model-dir", args.model_dir, "--epochs", str(args.epochs),
         ])
 
     if "part2" in stages:
         run([
             py, "scripts/train.py", "--part", "PartII",
-            "--data-dir", os.path.join(args.cache_root, "train_cache"),
+            "--data-dir", train_cache,
             "--model-dir", args.model_dir, "--epochs", str(args.epochs),
         ])
 
     if "eval" in stages:
+        fp = corpus_fingerprint(args.origin_dir) + fingerprint(
+            [bb_best, p1_best, p2_best]
+        )
+        check_fp(
+            os.path.join(args.cache_root, ".eval_trained_fp"), fp,
+            [os.path.join(args.cache_root, "eval_trained")],
+        )
         for part in ("PartI", "PartII"):
             run([
                 py, "scripts/test.py", "--part", part, "--dataset", "synth_test",
@@ -151,6 +238,11 @@ def main():
             ])
 
     if "eval_untrained" in stages:
+        check_fp(
+            os.path.join(args.cache_root, ".eval_untrained_fp"),
+            corpus_fingerprint(args.origin_dir),
+            [os.path.join(args.cache_root, "eval_untrained")],
+        )
         empty = os.path.join(args.cache_root, "no_model")
         os.makedirs(empty, exist_ok=True)
         run([

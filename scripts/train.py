@@ -30,6 +30,12 @@ def main():
     ap.add_argument("--model-dir", default="./model")
     ap.add_argument("--part1-ckpt", default=None)
     ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument(
+        "--no-augment",
+        action="store_true",
+        help="disable on-the-fly group augmentation (exact reference behavior)",
+    )
+    ap.add_argument("--weight-decay", type=float, default=1e-4)
     args = ap.parse_args()
 
     import jax
@@ -43,7 +49,8 @@ def main():
     import jax.numpy as jnp
 
     from yoho_tpu.config import default_config
-    from yoho_tpu.data.trainset import batch_iterator
+    from yoho_tpu.data.trainset import augment_group_batch, batch_iterator
+    from yoho_tpu.group import get_group
     from yoho_tpu.models.part1 import PartINetwork, des2dr
     from yoho_tpu.models.part2 import PartIINetwork
     from yoho_tpu.train.trainer import TrainerPartI, TrainerPartII, load_checkpoint
@@ -51,6 +58,20 @@ def main():
     cfg = default_config()
     if args.epochs:
         cfg.train = dataclasses.replace(cfg.train, epochs=args.epochs)
+    if args.weight_decay:
+        cfg.train = dataclasses.replace(cfg.train, weight_decay=args.weight_decay)
+
+    # Group augmentation (train batches only): composes random group
+    # elements onto both sides of each baked sample, multiplying the
+    # effective 60-way rotation labels x3600 for free — the fix for the
+    # measured rotation-head overfit (see data/trainset.py
+    # ``augment_group_batch``). Validation stays unaugmented.
+    G = get_group()
+    aug_rng = np.random.default_rng(cfg.train.seed + 17)
+    if args.no_augment:
+        augment = lambda b: b
+    else:
+        augment = lambda b: augment_group_batch(b, aug_rng, G)
 
     train_dir = os.path.join(args.data_dir, "Train_val_list", "trainset")
     val_dir = os.path.join(args.data_dir, "Train_val_list", "valset")
@@ -68,7 +89,7 @@ def main():
             cfg, model, os.path.join(args.model_dir, "PartI"), example
         )
         trainer.fit(
-            lambda: (to_device(b) for b in batch_iterator(train_dir)),
+            lambda: (to_device(augment(b)) for b in batch_iterator(train_dir)),
             lambda: (to_device(b) for b in batch_iterator(val_dir, shuffle=False)),
             steps_per_epoch=n_train,
         )
@@ -114,7 +135,7 @@ def main():
     example = enrich(example_raw)
     trainer = TrainerPartII(cfg, model2, os.path.join(args.model_dir, "PartII"), example)
     trainer.fit(
-        lambda: (enrich(b) for b in batch_iterator(train_dir)),
+        lambda: (enrich(augment(b)) for b in batch_iterator(train_dir)),
         lambda: (enrich(b) for b in batch_iterator(val_dir, shuffle=False)),
         steps_per_epoch=n_train,
     )

@@ -4,6 +4,10 @@ overrides (``config.for_dataset``, reference README.md:163-190), and
 the WHU-TLS consecutive-pair RR branch (reference
 ``utils/RR_cal.py:330-331``)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier: run via -m slow
+
 import dataclasses
 import os
 

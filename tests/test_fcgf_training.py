@@ -1,5 +1,9 @@
 """FCGF backbone training: loss semantics + a step that learns."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier: run via -m slow
+
 import dataclasses
 
 import numpy as np

@@ -8,6 +8,10 @@ pre.log writing, FMR, and the Redwood RR benchmark — the same spine as
 the reference's Evaluator_PartI (tests/evaluator.py:75-101).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier: run via -m slow
+
 import dataclasses
 import os
 

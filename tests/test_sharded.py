@@ -8,6 +8,10 @@ manual scene splitting + torch DDP examples,
 ``/root/reference/MinkowskiEngine/examples/multigpu_ddp.py:82-91``).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier: run via -m slow
+
 import dataclasses
 import functools
 

@@ -1,6 +1,10 @@
 """Lightweight feature API (``yoho_tpu/simple.py``; reference
 ``simple_yoho/fcgf_feat.py:51-55``, ``yoho_extract.py:73-77``)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier: 60-rotation e2e extractors
+
 import dataclasses
 
 import numpy as np

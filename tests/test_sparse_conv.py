@@ -165,3 +165,43 @@ def test_conv_variants_agree(rng):
     for v in ("einsum", "einsum_nomask", "unrolled"):
         out = np.asarray(sparse_conv(jnp.asarray(feats), kmap, jnp.asarray(w), variant=v))
         np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5, err_msg=v)
+
+
+def test_bf16_inference_matches_f32():
+    """bf16 compute dtype (BackboneConfig.dtype) must reproduce the f32
+    descriptors within mixed-precision tolerance — the accuracy guard
+    for the halved-HBM-traffic inference path (docs/PERF.md lever)."""
+    import dataclasses
+
+    import jax
+
+    from yoho_tpu.config import default_config
+    from yoho_tpu.models.fcgf import SparseResUNet
+    from yoho_tpu.models.plan import build_unet_plan
+    from yoho_tpu.ops.voxel import build_grid
+
+    rng = np.random.default_rng(4)
+    pad = 4096
+    pts = np.zeros((pad, 3), np.float32)
+    n = 3000
+    pts[:n] = rng.normal(size=(n, 3)).astype(np.float32) * 0.6
+    cfg = default_config().backbone
+    cfg_f32 = dataclasses.replace(cfg, dtype="float32")
+    cfg_bf16 = dataclasses.replace(cfg, dtype="bfloat16")
+
+    grid, _ = jax.jit(lambda p: build_grid(p, cfg.voxel_size, n))(jnp.asarray(pts))
+    plan = jax.jit(lambda g: build_unet_plan(g, cfg.conv1_kernel_size))(grid)
+    feats_in = jnp.ones((pad, 1), jnp.float32)
+    m32 = SparseResUNet(cfg_f32)
+    v = m32.init(jax.random.PRNGKey(0), feats_in, plan, False)
+    f32_out = np.asarray(m32.apply(v, feats_in, plan, False))
+    bf16_out = np.asarray(SparseResUNet(cfg_bf16).apply(v, feats_in, plan, False))
+    assert f32_out.dtype == bf16_out.dtype == np.float32
+    mask = np.abs(f32_out).sum(1) > 0
+    cos = (f32_out[mask] * bf16_out[mask]).sum(1)  # both L2-normalized
+    assert cos.min() > 0.98, f"bf16 descriptor diverged: min cos {cos.min()}"
+    assert np.abs(f32_out - bf16_out).mean() < 0.02
+    # train path ignores the compute dtype (always f32)
+    t32, _ = m32.apply(v, feats_in, plan, True, mutable=["batch_stats"])
+    tb, _ = SparseResUNet(cfg_bf16).apply(v, feats_in, plan, True, mutable=["batch_stats"])
+    np.testing.assert_array_equal(np.asarray(t32), np.asarray(tb))

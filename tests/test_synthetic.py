@@ -106,3 +106,26 @@ def test_idempotent(scene):
     # second call must be a cheap cache hit returning the same pair count
     n2 = generate_scene(str(root), "scene_00", 6, seed=123)
     assert n2 == n
+
+
+def test_param_change_regenerates(tmp_path):
+    """The .done sentinel encodes generation params: rescaling n_frag on
+    a machine holding an older corpus must regenerate, not no-op
+    (round-3 advisor medium finding)."""
+    root = str(tmp_path)
+    generate_scene(root, "s", 4, seed=9, aligned=True)
+    pc = os.path.join(root, "s", "PointCloud")
+    n_ply = len([f for f in os.listdir(pc) if f.endswith(".ply")])
+    assert n_ply <= 4
+    generate_scene(root, "s", 6, seed=9, aligned=True)
+    n_ply2 = len([f for f in os.listdir(pc) if f.endswith(".ply")])
+    assert n_ply2 > n_ply, "param change silently no-opped"
+    # legacy bare-int sentinel (pre-round-4 corpora) also regenerates
+    with open(os.path.join(root, "s", ".done"), "w") as f:
+        f.write("12")
+    n3 = generate_scene(root, "s", 6, seed=9, aligned=True)
+    import json
+
+    with open(os.path.join(root, "s", ".done")) as f:
+        rec = json.load(f)
+    assert rec["pairs"] == n3 and rec["params"]["n_frag"] == 6

@@ -45,6 +45,7 @@ def test_smooth_l1():
     assert abs(float(smooth_l1_loss(p, t)) - 1.625) < 1e-6
 
 
+@pytest.mark.slow
 def test_part1_training_learns(rng):
     """~60 Adam steps on equivariance-structured data must lift DR
     accuracy well above chance and reduce the loss."""
@@ -68,6 +69,7 @@ def test_part1_training_learns(rng):
     assert float(metrics["dr_acc"]) > 0.5  # chance = 1/60
 
 
+@pytest.mark.slow
 def test_trainer_fit_and_resume(tmp_path, rng):
     from yoho_tpu.train.trainer import TrainerPartI, load_checkpoint
 
@@ -158,3 +160,80 @@ def test_gzip_release_checkpoint_roundtrip(tmp_path, rng):
             jax.tree.leaves(vars_["params"]), jax.tree.leaves(state.params)
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def _random_small_rotation(rng, max_deg=15.0):
+    from yoho_tpu.utils.so3 import matrix_from_quaternion
+
+    axis = rng.normal(size=3)
+    axis /= np.linalg.norm(axis)
+    ang = np.radians(rng.uniform(0, max_deg))
+    q = np.concatenate([[np.cos(ang / 2)], np.sin(ang / 2) * axis])
+    return matrix_from_quaternion(q)
+
+
+def test_augment_group_batch_labels_exact(rng):
+    """Augmented (R, true_idx, delta_q) must satisfy the same defining
+    relations as baked labels (data/trainset.py bake_train_batches):
+    true_idx = nearest group element of R, delta_q = quat(R @ R_gi^T)."""
+    from yoho_tpu.data.trainset import augment_group_batch
+    from yoho_tpu.group.icosahedral import nearest_group_index
+    from yoho_tpu.utils.so3 import quaternion_from_matrix
+
+    G = get_group()
+    B = 24
+    gi = rng.integers(0, 60, B)
+    R = np.stack([_random_small_rotation(rng) @ G.rotations[g] for g in gi])
+    dq = np.stack([quaternion_from_matrix(R[b] @ G.rotations[gi[b]].T) for b in range(B)])
+    batch = {
+        "feats0": rng.normal(size=(B, 60, 8)).astype(np.float32),
+        "feats1": rng.normal(size=(B, 60, 8)).astype(np.float32),
+        "R": R.astype(np.float32),
+        "true_idx": gi.astype(np.int32),
+        "delta_q": dq.astype(np.float32),
+    }
+    out = augment_group_batch(batch, rng, G)
+    assert not np.array_equal(out["true_idx"], batch["true_idx"])
+    for b in range(B):
+        assert nearest_group_index(out["R"][b], G.rotations) == out["true_idx"][b]
+        q_ref = quaternion_from_matrix(
+            out["R"][b] @ G.rotations[out["true_idx"][b]].T
+        )
+        # quaternion sign is a gauge freedom
+        d = min(
+            np.abs(q_ref - out["delta_q"][b]).max(),
+            np.abs(q_ref + out["delta_q"][b]).max(),
+        )
+        assert d < 1e-4, f"delta_q mismatch {d}"
+
+
+def test_augment_group_batch_preserves_feature_relation(rng):
+    """If feats1 is the exact group-permuted copy of feats0 under the
+    label index (cloud1 = R[gi] @ cloud0), that relation must survive
+    augmentation with the new label: feats1'[g] = feats0'[cayley[gi', g]]."""
+    from yoho_tpu.data.trainset import augment_group_batch
+    from yoho_tpu.utils.so3 import quaternion_from_matrix
+
+    G = get_group()
+    B = 16
+    gi = rng.integers(0, 60, B)
+    feats0 = rng.normal(size=(B, 60, 8)).astype(np.float32)
+    feats1 = np.stack([feats0[b][G.cayley[gi[b]]] for b in range(B)])
+    batch = {
+        "feats0": feats0,
+        "feats1": feats1,
+        "R": G.rotations[gi].astype(np.float32),
+        "true_idx": gi.astype(np.int32),
+        "delta_q": np.tile(np.array([1.0, 0, 0, 0], np.float32), (B, 1)),
+    }
+    out = augment_group_batch(batch, rng, G)
+    for b in range(B):
+        np.testing.assert_allclose(
+            out["feats1"][b],
+            out["feats0"][b][G.cayley[out["true_idx"][b]]],
+            atol=1e-6,
+        )
+        # exact group rotations keep an identity residual
+        np.testing.assert_allclose(
+            np.abs(out["delta_q"][b][0]), 1.0, atol=1e-5
+        )

@@ -10,6 +10,7 @@ mesh shape) are new.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Callable, Dict
 
 
@@ -117,6 +118,10 @@ class TrainConfig:
     save_interval: int = 3000
     loss_margin: float = 0.3  # batch-hard margin, loss_val.py:48
     inv_loss_weight: float = 5.0  # loss_val.py:53
+    # No reference analog (plain Adam, trainer.py:47): regularization
+    # knob against the measured PartI rotation-head overfit (round-3
+    # RESULTS.md). 0.0 = plain Adam, bitwise reference behavior.
+    weight_decay: float = 0.0
     seed: int = 0
 
 
@@ -208,4 +213,11 @@ def registry(kind: str) -> Dict[str, Any]:
 
 
 def default_config() -> PipelineConfig:
-    return PipelineConfig()
+    cfg = PipelineConfig()
+    # Inference compute dtype for the backbone (models/fcgf.py): bf16
+    # halves the HBM gather traffic of the conv path. Overridable for
+    # A/B profiling and for bit-exact f32 runs.
+    env_dt = os.environ.get("YOHO_BACKBONE_DTYPE")
+    if env_dt:
+        cfg.backbone = dataclasses.replace(cfg.backbone, dtype=env_dt)
+    return cfg

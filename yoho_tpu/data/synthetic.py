@@ -257,11 +257,35 @@ def generate_scene(
     rng = np.random.default_rng(seed)
     scene_dir = os.path.join(out_root, scene_name)
     pc_dir = os.path.join(scene_dir, "PointCloud")
-    os.makedirs(pc_dir, exist_ok=True)
+    # The .done sentinel records the generation parameters, not just the
+    # pair count: a bare exists-check silently no-ops when the corpus is
+    # rescaled (e.g. train_frags 6 -> 8) on a machine holding an older
+    # corpus, and the ladder then trains on mixed-parameter scenes.
+    # Param mismatch (or a legacy bare-int sentinel) regenerates the
+    # scene from scratch; generation is deterministic in ``seed``, so
+    # same-param regeneration reproduces identical files.
+    params = {
+        "n_frag": int(n_frag),
+        "seed": int(seed),
+        "aligned": bool(aligned),
+        "density": float(density),
+        "min_overlap": float(min_overlap),
+    }
     done_fn = os.path.join(scene_dir, ".done")
     if os.path.exists(done_fn):
-        with open(done_fn) as f:
-            return int(f.read().strip())
+        import json
+
+        try:
+            with open(done_fn) as f:
+                rec = json.load(f)
+            if isinstance(rec, dict) and rec.get("params") == params:
+                return int(rec["pairs"])
+        except (ValueError, KeyError):
+            pass  # legacy bare-int sentinel: params unknown -> regenerate
+        import shutil
+
+        shutil.rmtree(scene_dir)
+    os.makedirs(pc_dir, exist_ok=True)
 
     world = make_room(rng, density)
     lo, hi = world.min(0), world.max(0)
@@ -333,8 +357,10 @@ def generate_scene(
             pj_local = (pw[m] - tj[None, :]) @ Rj
             overlaps.append(pj_local)
     _write_gt_files(pc_dir, pairs, transforms, overlaps, n_frag)
+    import json
+
     with open(done_fn, "w") as f:
-        f.write(str(len(pairs)))
+        json.dump({"pairs": len(pairs), "params": params}, f)
     return len(pairs)
 
 

@@ -265,6 +265,52 @@ def bake_val_batches(
     return bi
 
 
+def augment_group_batch(batch: dict, rng, group=None) -> dict:
+    """Free on-the-fly group augmentation of one baked PartI/PartII batch.
+
+    Composing a random icosahedral element onto each side of a baked
+    sample multiplies the effective rotation labels x3600 without any
+    re-lifting, because the group-feature tensors transform by pure
+    permutation (the equivariance the descriptor nets are built on).
+    With ``cayley[a, b] = index(R[b] @ R[a])`` (``group/icosahedral.py``)
+    and per-sample group elements a (cloud 0) and b (cloud 1):
+
+      feats0'[g] = feats0[cayley[a, g]]        (F'[g] = F(R_g R_a x))
+      feats1'[g] = feats1[cayley[b, g]]
+      R'         = R_b @ R @ R_a^T             (label R maps frame0 -> frame1)
+      true_idx'  = cayley[cayley[inverse[a], gi], b]
+      delta_q'   = (w, R_b v)                  (conjugation by R_b keeps the
+                                                residual angle, rotates its axis;
+                                                composing a alone leaves it fixed)
+
+    The relabeling is exact (group closure), not a re-quantization: if
+    R = D @ R[gi] with residual D inside the nearest-neighbor basin,
+    then R' = (R_b D R_b^T) @ R[gi'] with the same residual angle.
+    Fixes the measured PartI 60-way-head overfit (round-3 RESULTS.md:
+    val CE 6.2 vs 4.1 at chance with no augmentation; reference analog:
+    none — YOHO_Trainset.py bakes labels once).
+    """
+    G = group or get_group()
+    cay = G.cayley
+    inv = G.inverse
+    B = batch["true_idx"].shape[0]
+    a = rng.integers(0, G.order, B)
+    b = rng.integers(0, G.order, B)
+    rows = np.arange(B)[:, None]
+    out = dict(batch)
+    out["feats0"] = batch["feats0"][rows, cay[a, :]]
+    out["feats1"] = batch["feats1"][rows, cay[b, :]]
+    out["true_idx"] = cay[cay[inv[a], batch["true_idx"]], b].astype(np.int32)
+    q = batch["delta_q"]
+    v = np.einsum("bij,bj->bi", G.rotations[b], q[:, 1:])
+    out["delta_q"] = np.concatenate([q[:, :1], v], axis=1).astype(np.float32)
+    if "R" in batch:
+        out["R"] = np.einsum(
+            "bij,bjk,blk->bil", G.rotations[b], batch["R"], G.rotations[a]
+        ).astype(np.float32)
+    return out
+
+
 def batch_iterator(dir_path: str, shuffle: bool = True, seed: int = 0):
     """Yield baked .npz batches as dicts of arrays."""
     files = sorted(

@@ -73,17 +73,18 @@ class MaskedInstanceNorm(nn.Module):
         offset = self.param("bias", nn.initializers.zeros, (self.features,))
         nb = self.num_instances
         b = jnp.where(mask, batch_ids, nb).astype(jnp.int32)
-        fm = jnp.where(mask[:, None], feats, 0.0)
-        ssum = jnp.zeros((nb + 1, self.features), feats.dtype).at[b].add(fm)
-        s2um = jnp.zeros((nb + 1, self.features), feats.dtype).at[b].add(fm * fm)
-        cnt = jnp.zeros((nb + 1,), feats.dtype).at[b].add(mask.astype(feats.dtype))
+        # segment stats in f32 (bf16 segment sums would lose precision)
+        fm = jnp.where(mask[:, None], feats, 0.0).astype(jnp.float32)
+        ssum = jnp.zeros((nb + 1, self.features), jnp.float32).at[b].add(fm)
+        s2um = jnp.zeros((nb + 1, self.features), jnp.float32).at[b].add(fm * fm)
+        cnt = jnp.zeros((nb + 1,), jnp.float32).at[b].add(mask.astype(jnp.float32))
         denom = jnp.maximum(cnt, 1.0)[:, None]
         mean = ssum / denom
         var = jnp.maximum(s2um / denom - mean * mean, 0.0)
         mu = mean[jnp.clip(b, 0, nb - 1)]
         v = var[jnp.clip(b, 0, nb - 1)]
-        out = (feats - mu) * jax.lax.rsqrt(v + self.eps) * scale[None, :] + offset[None, :]
-        return out * mask[:, None]
+        out = (fm - mu) * jax.lax.rsqrt(v + self.eps) * scale[None, :] + offset[None, :]
+        return out.astype(feats.dtype) * mask[:, None]
 
 
 def apply_norm(
@@ -181,10 +182,17 @@ class SparseResUNet(nn.Module):
         bm = c.bn_momentum
         K1 = c.conv1_kernel_size**3
 
+        # Inference compute dtype (cfg.dtype, default float32): bf16
+        # features halve the HBM traffic of the gather-bound convs and
+        # the inter-layer elementwise round trips (docs/PERF.md names
+        # this the top remaining lever). Params, norm statistics, and
+        # matmul accumulation stay f32; training always runs f32.
+        dt = jnp.float32 if train else jnp.dtype(c.dtype)
+
         # Zero-row invariant: every conv gathers padding rows (incl. the
         # reserved zero row) for its invalid kernel-map entries; they
         # must hold zeros on the way in. BN layers re-assert it.
-        feats = feats * plan.mask1[:, None]
+        feats = feats.astype(dt) * plan.mask1[:, None]
 
         # ---- encoder ----
         out_s1 = SparseConv(c.in_channels, ch[0], K1)(feats, plan.conv1)

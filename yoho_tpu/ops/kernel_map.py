@@ -82,6 +82,11 @@ def merge_join_search(
     """
     n = grid.key_hi.shape[0]
     q = q_hi.shape[0]
+    # bit 30 of the int32 payload carries the found flag; a grid with
+    # >= 2^30 rows would silently corrupt the packed row index. Static
+    # shapes make this a free compile-time guard (buckets are <= 32k in
+    # practice, but an unasserted wrap would corrupt kernel maps).
+    assert n < (1 << 30), f"grid rows {n} exceed the 2^30 packing bound"
     hi = jnp.concatenate([grid.key_hi, q_hi])
     lo = jnp.concatenate([grid.key_lo, q_lo])
     tag = jnp.concatenate(
@@ -158,6 +163,10 @@ def transpose_kernel_map(fwd: "KernelMap", n_fine: int) -> "KernelMap":
     Exactly equals ``build_kernel_map(coarse, fine, transposed=True)``.
     """
     K, M = fwd.in_idx.shape
+    # same bit-30 packing bound as merge_join_search (coarse rows in the
+    # payload), plus the flat scatter index space must fit int32
+    assert M < (1 << 30), f"coarse rows {M} exceed the 2^30 packing bound"
+    assert K * n_fine < (1 << 31), "flat scatter index overflows int32"
     flat = jnp.where(
         fwd.valid,
         jnp.arange(K, dtype=jnp.int32)[:, None] * n_fine + fwd.in_idx,

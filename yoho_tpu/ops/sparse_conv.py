@@ -73,11 +73,14 @@ def sparse_conv(
         # K small MXU matmuls, accumulated. No (K, M, Cin) intermediate,
         # no relayout, NO gather-side mask: relies on the zero-row
         # invariant (kernel_map.py) — feats must be zero on the input
-        # grid's reserved pad row.
+        # grid's reserved pad row. Gathers run at the FEATURE dtype
+        # (bf16 features halve the HBM gather traffic that bounds these
+        # convs, docs/PERF.md); accumulation stays f32 on the MXU.
+        w = weights.astype(feats.dtype)
         out = jnp.zeros((M, weights.shape[2]), jnp.float32)
         for k in range(K):
             g = jnp.take(feats, kmap.in_idx[k], axis=0)
-            out = out + jnp.dot(g, weights[k], preferred_element_type=jnp.float32)
+            out = out + jnp.dot(g, w[k], preferred_element_type=jnp.float32)
     elif variant == "einsum_nomask":
         g = jnp.take(feats, kmap.in_idx.reshape(-1), axis=0).reshape(K, M, Cin)
         out = jnp.einsum(
@@ -111,7 +114,9 @@ def sparse_conv(
             out = jax.lax.map(tile, (idx_t, val_t)).reshape(M, -1)
     if bias is not None:
         out = out + bias[None, :]
-    return out
+    # store at the feature dtype (f32 accumulation above): under a bf16
+    # feature path this halves the inter-layer HBM round trips
+    return out.astype(feats.dtype)
 
 
 def masked_mean_var(
@@ -124,10 +129,11 @@ def masked_mean_var(
     carry no padding. With static padding, the statistics must exclude
     pad rows or they'd be batch-size dependent noise.
     """
-    m = mask.astype(feats.dtype)[:, None]
+    f32 = feats.astype(jnp.float32)  # stats in f32 under bf16 features
+    m = mask.astype(jnp.float32)[:, None]
     n = jnp.maximum(m.sum(), 1.0)
-    mean = (feats * m).sum(axis=0) / n
-    var = (jnp.square(feats - mean[None, :]) * m).sum(axis=0) / n
+    mean = (f32 * m).sum(axis=0) / n
+    var = (jnp.square(f32 - mean[None, :]) * m).sum(axis=0) / n
     return mean, var
 
 
@@ -140,4 +146,5 @@ def batch_norm_apply(
     eps: float = 1e-5,
 ) -> jnp.ndarray:
     inv = scale / jnp.sqrt(var + eps)
-    return feats * inv[None, :] + (offset - mean * inv)[None, :]
+    out = feats.astype(jnp.float32) * inv[None, :] + (offset - mean * inv)[None, :]
+    return out.astype(feats.dtype)  # keep the caller's compute dtype

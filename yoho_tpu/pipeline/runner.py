@@ -168,6 +168,28 @@ class PipelineRunner:
                 inlier_dist=cfg.ransac.inlier_dist_o,
             )
 
+        # Batched estimators: all of a scene's pairs as vmap lanes of ONE
+        # dispatch (the reference forks a process per pair instead,
+        # ``yohoc_mul``, estimator.py:269-273). Chunked by the caller to
+        # bound the (T, M) scoring buffers.
+        @jax.jit
+        def ransac_c_batch(keys, keys0, keys1, pairs, mask, dr):
+            return jax.vmap(
+                lambda k, a, b, p, mm, d: yoho_c_ransac(
+                    k, a, b, p, mm, d,
+                    max_iter=cfg.ransac.max_iter,
+                    inlier_dist=cfg.ransac.inlier_dist_c,
+                )
+            )(keys, keys0, keys1, pairs, mask, dr)
+
+        @jax.jit
+        def ransac_o_batch(keys0, keys1, pairs, mask, transforms):
+            return jax.vmap(
+                lambda a, b, p, mm, t: yoho_o_ransac(
+                    a, b, p, mm, t, inlier_dist=cfg.ransac.inlier_dist_o
+                )
+            )(keys0, keys1, pairs, mask, transforms)
+
         from yoho_tpu.group import get_group
 
         # Multi-device: shard the lift (clouds over `data`, the
@@ -208,6 +230,8 @@ class PipelineRunner:
         self.ransac_c = ransac_c
         self.part2_poses = part2_poses
         self.ransac_o = ransac_o
+        self.ransac_c_batch = ransac_c_batch
+        self.ransac_o_batch = ransac_o_batch
         self.pad = pad
         self.kn = kn
 
@@ -350,9 +374,17 @@ class PipelineRunner:
             np.save(d_fn, np.asarray(dr)[:c])
 
     def estimate_scene(
-        self, dataset, cache_dir: str, estimator: str = "yoho_c", seed: int = 0
+        self,
+        dataset,
+        cache_dir: str,
+        estimator: str = "yoho_c",
+        seed: int = 0,
+        pairs_per_call: int = 8,
     ) -> None:
-        """Stage 5/6: RANSAC per pair + pre.log."""
+        """Stage 5/6: RANSAC + pre.log, all pending pairs batched as
+        vmap lanes (``pairs_per_call`` per dispatch to bound the
+        (iters, matches) scoring buffers at ~8 x 20 MB). The reference
+        instead forks one process per pair (estimator.py:269-273)."""
         import jax
 
         base = os.path.join(cache_dir, "Testset", dataset.name)
@@ -363,14 +395,16 @@ class PipelineRunner:
         )
         jnp = self.jnp
         kn = self.kn
-        pairs_out, trans_out = [], []
+        results: Dict[tuple, np.ndarray] = {}
+        todo = []
         for idx, (id0, id1) in enumerate(dataset.pair_ids):
             out_fn = os.path.join(save_dir, f"{id0}-{id1}.npz")
             if os.path.exists(out_fn):
-                d = np.load(out_fn)
-                pairs_out.append((id0, id1))
-                trans_out.append(d["trans"][:3])
-                continue
+                results[(id0, id1)] = np.load(out_fn)["trans"][:3]
+            else:
+                todo.append((idx, id0, id1, out_fn))
+
+        def load_pair(id0, id1):
             keys0 = dataset.get_kps(id0).astype(np.float32)
             keys1 = dataset.get_kps(id1).astype(np.float32)
             pairs = np.load(os.path.join(match_dir, f"{id0}-{id1}.npy"))
@@ -379,39 +413,52 @@ class PipelineRunner:
             pairs_pad = np.zeros((kn, 2), np.int32)
             pairs_pad[:m] = pairs
             mask = np.arange(kn) < m
-            if estimator == "yoho_c":
-                dr_pad = np.zeros((kn,), np.int32)
-                dr_pad[:m] = dr
-                res = self.ransac_c(
-                    jax.random.PRNGKey(seed + idx),
-                    jnp.asarray(keys0),
-                    jnp.asarray(keys1),
-                    jnp.asarray(pairs_pad),
-                    jnp.asarray(mask),
-                    jnp.asarray(dr_pad),
-                )
-            else:
+            dr_pad = np.zeros((kn,), np.int32)
+            dr_pad[:m] = dr
+            T_pad = None
+            if estimator != "yoho_c":
                 T = np.load(os.path.join(match_dir, "Trans_pre", f"{id0}-{id1}.npy"))
                 T_pad = np.zeros((kn, 3, 4), np.float32)
                 T_pad[:m] = T
-                res = self.ransac_o(
-                    jnp.asarray(keys0),
-                    jnp.asarray(keys1),
-                    jnp.asarray(pairs_pad),
-                    jnp.asarray(mask),
-                    jnp.asarray(T_pad),
+            return keys0, keys1, pairs_pad, mask, dr_pad, T_pad
+
+        for c0 in range(0, len(todo), pairs_per_call):
+            chunk = todo[c0 : c0 + pairs_per_call]
+            real = len(chunk)
+            chunk = chunk + [chunk[-1]] * (pairs_per_call - real)
+            loaded = [load_pair(id0, id1) for _, id0, id1, _ in chunk]
+            stack = lambda i: jnp.asarray(np.stack([L[i] for L in loaded]))
+            if estimator == "yoho_c":
+                keys = jnp.stack(
+                    [jax.random.PRNGKey(seed + idx) for idx, _, _, _ in chunk]
                 )
-            T3 = np.asarray(res.transform)
-            T4 = np.eye(4)
-            T4[:3] = T3
-            np.savez(
-                out_fn,
-                trans=T4,
-                recalltime=int(res.best_iter),
-                overlap=float(res.overlap),
-            )
-            pairs_out.append((id0, id1))
-            trans_out.append(T3)
+                res = self.ransac_c_batch(
+                    keys, stack(0), stack(1), stack(2), stack(3), stack(4)
+                )
+            else:
+                res = self.ransac_o_batch(
+                    stack(0), stack(1), stack(2), stack(3), stack(5)
+                )
+            T3b = np.asarray(res.transform)
+            best = np.asarray(res.best_iter)
+            ovl = np.asarray(res.overlap)
+            degen = np.asarray(res.degenerate)
+            for j in range(real):
+                _, id0, id1, out_fn = chunk[j]
+                T4 = np.eye(4)
+                T4[:3] = T3b[j]
+                # Degenerate vote distribution -> identity + the
+                # reference's sentinel recalltime=50001
+                # (estimator.py:107-108), not the argmax iteration.
+                np.savez(
+                    out_fn,
+                    trans=T4,
+                    recalltime=50001 if degen[j] else int(best[j]),
+                    overlap=float(ovl[j]),
+                )
+                results[(id0, id1)] = T3b[j]
+        pairs_out = list(dataset.pair_ids)
+        trans_out = [results[(id0, id1)] for id0, id1 in pairs_out]
         rr.write_trajectory(
             os.path.join(save_dir, "pre.log"),
             pairs_out,

@@ -39,7 +39,14 @@ def make_lr_schedule(cfg: TrainConfig, steps_per_epoch: int):
 
 
 def make_optimizer(cfg: TrainConfig, steps_per_epoch: int) -> optax.GradientTransformation:
-    return optax.adam(make_lr_schedule(cfg, steps_per_epoch))
+    """Adam (reference trainer.py:47), or AdamW when cfg.weight_decay > 0
+    (overfit control; note the opt_state pytree differs between the two,
+    so checkpoints don't resume across a weight_decay on/off change)."""
+    schedule = make_lr_schedule(cfg, steps_per_epoch)
+    wd = getattr(cfg, "weight_decay", 0.0)
+    if wd:
+        return optax.adamw(schedule, weight_decay=wd)
+    return optax.adam(schedule)
 
 
 def init_train_state(variables, optimizer) -> TrainState:

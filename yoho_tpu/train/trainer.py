@@ -131,14 +131,21 @@ class BaseTrainer:
         log_int = max(1, min(cfg.train_log_step, 500))
         val_int = max(1, min(cfg.val_interval, max(total_steps // 2, 1)))
         save_int = max(1, min(cfg.save_interval, val_int))
+        # Host-side step mirror + deferred metric readback: calling
+        # float()/int() on device values every step would block the host
+        # on each dispatch, serializing host prep with device compute
+        # (the exact stall utils/prefetch.py exists to avoid). Losses
+        # stay device arrays until a log boundary.
+        step = int(state.step)
         running = []
-        while int(state.step) < total_steps:
+        while step < total_steps:
             for batch in train_batches():
                 state, metrics = step_fn(state, batch)
-                running.append(float(metrics["loss"]))
-                step = int(state.step)
+                running.append(metrics["loss"])
+                step += 1
                 if step % log_int == 0:
-                    self._log(f"step {step}/{total_steps} loss {np.mean(running):.5f}")
+                    loss = float(np.mean([float(x) for x in running]))
+                    self._log(f"step {step}/{total_steps} loss {loss:.5f}")
                     running = []
                 if step % val_int == 0:
                     para = self._validate(state, val_batches)
