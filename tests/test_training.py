@@ -237,3 +237,32 @@ def test_augment_group_batch_preserves_feature_relation(rng):
         np.testing.assert_allclose(
             np.abs(out["delta_q"][b][0]), 1.0, atol=1e-5
         )
+
+
+def test_load_checkpoint_across_optimizer_change(tmp_path, rng):
+    """An adam-era checkpoint must load under an adamw template (the
+    weight_decay knob changes the opt_state pytree): params/step restore,
+    optimizer restarts fresh."""
+    import dataclasses
+
+    import optax
+
+    from yoho_tpu.train.trainer import load_checkpoint, save_checkpoint
+    from yoho_tpu.train.steps import make_optimizer
+
+    cfg = default_config()
+    model = PartINetwork(cfg.part1)
+    feats = jnp.asarray(rng.normal(size=(4, 60, 32)).astype(np.float32))
+    v0 = model.init(jax.random.PRNGKey(0), feats, False)
+    adam_state = init_train_state(v0, make_optimizer(cfg.train, 10))
+    adam_state = adam_state._replace(step=jnp.asarray(42, jnp.int32))
+    fn = str(tmp_path / "model.pkl")
+    save_checkpoint(fn, adam_state, 0.7)
+
+    wd_cfg = dataclasses.replace(cfg.train, weight_decay=1e-4)
+    adamw_template = init_train_state(v0, make_optimizer(wd_cfg, 10))
+    loaded, best = load_checkpoint(fn, adamw_template)
+    assert best == 0.7
+    assert int(loaded.step) == 42
+    for a, b in zip(jax.tree.leaves(loaded.params), jax.tree.leaves(adam_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -64,10 +64,31 @@ def _read_payload(path: str) -> dict:
 
 def load_checkpoint(path: str, template: TrainState):
     """Load a full training (or release) checkpoint into a TrainState
-    template — the template's opt_state tree must match the one saved
-    (optax.adam with a callable schedule everywhere in this repo)."""
+    template.
+
+    When the saved opt_state pytree doesn't match the template's (e.g.
+    an adam-era checkpoint resumed under adamw after the weight_decay
+    knob, or a cross-version release file), fall back to restoring
+    params/batch_stats/step only and keep the template's fresh
+    optimizer state — the same documented trade as release checkpoints
+    (zeroed moments)."""
     payload = _read_payload(path)
-    state = serialization.from_bytes(template, payload["state"])
+    try:
+        state = serialization.from_bytes(template, payload["state"])
+    except (ValueError, KeyError, TypeError):
+        raw = serialization.msgpack_restore(payload["state"])
+        state = template._replace(
+            params=serialization.from_state_dict(template.params, raw["params"]),
+            batch_stats=serialization.from_state_dict(
+                template.batch_stats, raw.get("batch_stats", {})
+            ),
+            step=jnp.asarray(payload.get("step", 0), jnp.int32),
+        )
+        print(
+            f"load_checkpoint: opt_state structure mismatch in {path}; "
+            "restored params/batch_stats/step with a fresh optimizer",
+            flush=True,
+        )
     return state, payload["best_para"]
 
 
