@@ -73,9 +73,13 @@ def main():
         def run(f):
             return jax.lax.scan(body, f, None, length=reps)[0]
 
+        # warmup and timed runs must NOT be identical dispatches (same
+        # executable + same buffer): the tunnel dedups those and the
+        # timed call can read ~0. Perturb the input in between.
         jax.block_until_ready(run(feats))  # compile + warmup
+        feats_t = feats * (1.0 + 1e-6)
         t0 = time.time()
-        jax.block_until_ready(run(feats))
+        jax.block_until_ready(run(feats_t))
         return (time.time() - t0) / reps * 1e3
 
     variants = ["unrolled", "im2col", "einsum", "einsum_bf16"]

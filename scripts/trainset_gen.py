@@ -91,7 +91,7 @@ def main():
                     lambda points, n, keys: lift_group_features(
                         fcgf_apply, fcgf_vars, points, n, keys,
                         cfg.backbone.voxel_size, cfg.backbone.conv1_kernel_size,
-                        rotations_per_batch=4,
+                        rotations_per_batch=6,
                     )
                 )
             return lift_cache[bucket]

@@ -116,3 +116,30 @@ def test_part2_shapes():
     q = model.apply(variables, f(), f(), f(), f(), idx, False)
     assert q.shape == (B, 4)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(q), axis=1), 1.0, atol=1e-5)
+
+
+def test_part1_bf16_inference_matches_f32(rng):
+    """PartI bf16 inference dtype reproduces f32 descriptors within
+    mixed-precision tolerance (outputs are L2-normalized f32)."""
+    import dataclasses
+
+    import jax
+
+    from yoho_tpu.config import default_config
+
+    cfg = default_config().part1
+    m32 = PartINetwork(dataclasses.replace(cfg, dtype="float32"))
+    mbf = PartINetwork(dataclasses.replace(cfg, dtype="bfloat16"))
+    feats = jnp.asarray(rng.normal(size=(16, 60, 32)).astype(np.float32))
+    v = m32.init(jax.random.PRNGKey(0), feats, False)
+    o32 = m32.apply(v, feats, False)
+    obf = mbf.apply(v, feats, False)
+    for k in ("inv", "eqv"):
+        a, b = np.asarray(o32[k]), np.asarray(obf[k])
+        assert a.dtype == b.dtype == np.float32
+        cos = (a * b).sum(-1)
+        assert cos.min() > 0.995, f"{k}: min cos {cos.min()}"
+    # train path ignores the compute dtype
+    t32, _ = m32.apply(v, feats, True, mutable=["batch_stats"])
+    tbf, _ = mbf.apply(v, feats, True, mutable=["batch_stats"])
+    np.testing.assert_array_equal(np.asarray(t32["eqv"]), np.asarray(tbf["eqv"]))

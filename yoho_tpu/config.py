@@ -90,6 +90,8 @@ class PartIConfig:
     out_dim: int = 32
     num_residual_blocks: int = 1
     test_batch_size: int = 900  # parses_partI.py:93
+    # Inference compute dtype (training pinned f32); see BackboneConfig.
+    dtype: str = "float32"
 
 
 @dataclasses.dataclass

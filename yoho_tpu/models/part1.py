@@ -33,11 +33,12 @@ class CombConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, neighbors, train: bool):
+        dt = x.dtype  # preserve the caller's compute dtype through BN
         if self.pre_bn_relu:
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5
             )(x)
-            x = nn.relu(x)
+            x = nn.relu(x).astype(dt)
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(2.0, "fan_in", "truncated_normal"),
@@ -81,11 +82,18 @@ class PartINetwork(nn.Module):
 
     def __call__(self, feats: jnp.ndarray, train: bool = False):
         """feats (B, 60, 32) -> {'inv': (B, 32), 'eqv': (B, 60, 32)}."""
+        # Inference compute dtype (cfg.dtype, default f32): the group
+        # convs are one big MXU matmul each — bf16 operands double MXU
+        # throughput; accumulation and the normalized outputs stay f32.
+        dt = jnp.float32 if train else jnp.dtype(
+            getattr(self.cfg, "dtype", "float32")
+        )
+        feats = feats.astype(dt)
         x = self.conv_in(feats, self.neighbors, train)
         for blk in self.blocks:
             x = blk(x, self.neighbors, train)
         x = self.conv_out(x, self.neighbors, train)
-        eqv = x + feats  # reference: feats_eqv = SO3_Conv(feats) + feats
+        eqv = (x + feats).astype(jnp.float32)  # reference: SO3_Conv(feats) + feats
         inv = jnp.mean(eqv, axis=1)  # group mean
         # L2 normalize over channels (reference clamps the norm at 1e-4)
         eqv = safe_l2_normalize(eqv, axis=-1, eps=1e-4)

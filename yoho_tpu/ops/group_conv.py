@@ -36,10 +36,19 @@ def comb_conv_apply(
     w: jnp.ndarray,
     b: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """x (B, G, Cin), w (13*Cin, Cout) -> (B, G, Cout)."""
+    """x (B, G, Cin), w (13*Cin, Cout) -> (B, G, Cout).
+
+    Runs the MXU contraction at x's dtype (bf16 under the inference
+    compute-dtype path) with f32 accumulation, and returns x's dtype.
+    """
     B, G, Cin = x.shape
     g = group_gather(x, neighbors)  # (B, G, 13, Cin)
-    out = g.reshape(B, G, 13 * Cin) @ w
+    out = jnp.einsum(
+        "bgk,ko->bgo",
+        g.reshape(B, G, 13 * Cin),
+        w.astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    )
     if b is not None:
         out = out + b
-    return out
+    return out.astype(x.dtype)

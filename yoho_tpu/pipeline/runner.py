@@ -121,7 +121,7 @@ class PipelineRunner:
                         keys,
                         cfg.backbone.voxel_size,
                         cfg.backbone.conv1_kernel_size,
-                        rotations_per_batch=4,
+                        rotations_per_batch=6,
                     )
 
                 lift_cache[bucket] = lift
