@@ -26,6 +26,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model-dir", default="./model")
     ap.add_argument("--out-dir", default="./model_release")
+    ap.add_argument(
+        "--dtype",
+        default="float16",
+        choices=["float16", "float32"],
+        help="storage dtype for params/batch_stats (float16 halves the "
+        "committed size; loaders cast back to the template precision — "
+        "round-3 advisor finding on per-round git growth)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -84,8 +92,18 @@ def main():
             make_template(), optax.adam(optax.constant_schedule(1e-4))
         )
         state, best = load_checkpoint(src, template)
+        store_dt = jnp.dtype(args.dtype)
+
+        def shrink(x):
+            return x.astype(store_dt) if jnp.issubdtype(x.dtype, jnp.floating) else x
+
+        # opt_state keeps its pytree structure (zeros gzip to ~nothing),
+        # so strict from_bytes loads still work; loaders cast the f16
+        # params back to the template dtype (trainer._cast_like).
         slim = state._replace(
-            opt_state=jax.tree.map(jnp.zeros_like, state.opt_state)
+            params=jax.tree.map(shrink, state.params),
+            batch_stats=jax.tree.map(shrink, state.batch_stats),
+            opt_state=jax.tree.map(jnp.zeros_like, state.opt_state),
         )
         payload = {
             "state": serialization.to_bytes(slim),

@@ -266,3 +266,44 @@ def test_load_checkpoint_across_optimizer_change(tmp_path, rng):
     assert int(loaded.step) == 42
     for a, b in zip(jax.tree.leaves(loaded.params), jax.tree.leaves(adam_state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_f16_release_roundtrip(tmp_path, rng):
+    """float16-stored release checkpoints load back at template dtype
+    within f16 tolerance (scripts/export_release.py --dtype float16)."""
+    import gzip
+    import pickle
+
+    import optax
+    from flax import serialization
+
+    from yoho_tpu.train.trainer import (
+        load_checkpoint,
+        load_inference_variables,
+    )
+
+    cfg = default_config()
+    model = PartINetwork(cfg.part1)
+    feats = jnp.asarray(rng.normal(size=(4, 60, 32)).astype(np.float32))
+    v0 = model.init(jax.random.PRNGKey(0), feats, False)
+    opt = optax.adam(optax.constant_schedule(1e-4))
+    state = init_train_state(v0, opt)
+    shrink = lambda x: x.astype(jnp.float16) if jnp.issubdtype(x.dtype, jnp.floating) else x
+    slim = state._replace(
+        params=jax.tree.map(shrink, state.params),
+        batch_stats=jax.tree.map(shrink, state.batch_stats),
+        opt_state=jax.tree.map(jnp.zeros_like, state.opt_state),
+    )
+    fn = str(tmp_path / "release.pkl")
+    with gzip.open(fn, "wb") as f:
+        pickle.dump(
+            {"state": serialization.to_bytes(slim), "best_para": 0.1, "step": 7}, f
+        )
+    loaded, _ = load_checkpoint(fn, state)
+    vars_, _ = load_inference_variables(fn, v0)
+    for got in (loaded.params, vars_["params"]):
+        for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(state.params)):
+            assert np.asarray(a).dtype == np.float32
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3
+            )

@@ -62,6 +62,19 @@ def _read_payload(path: str) -> dict:
         return pickle.load(f)
 
 
+def _cast_like(tree, template):
+    """Cast restored leaves to the template's dtypes: release checkpoints
+    may be stored float16 (scripts/export_release.py halves the committed
+    size); consumers always compute at the template precision."""
+    return jax.tree.map(
+        lambda a, t: jnp.asarray(a, getattr(t, "dtype", None))
+        if hasattr(t, "dtype")
+        else a,
+        tree,
+        template,
+    )
+
+
 def load_checkpoint(path: str, template: TrainState):
     """Load a full training (or release) checkpoint into a TrainState
     template.
@@ -89,6 +102,10 @@ def load_checkpoint(path: str, template: TrainState):
             "restored params/batch_stats/step with a fresh optimizer",
             flush=True,
         )
+    state = state._replace(
+        params=_cast_like(state.params, template.params),
+        batch_stats=_cast_like(state.batch_stats, template.batch_stats),
+    )
     return state, payload["best_para"]
 
 
@@ -100,13 +117,17 @@ def load_inference_variables(path: str, variables: dict):
     payload = _read_payload(path)
     raw = serialization.msgpack_restore(payload["state"])
     out = {
-        "params": serialization.from_state_dict(
-            variables["params"], raw["params"]
+        "params": _cast_like(
+            serialization.from_state_dict(variables["params"], raw["params"]),
+            variables["params"],
         )
     }
     if "batch_stats" in variables or raw.get("batch_stats"):
-        out["batch_stats"] = serialization.from_state_dict(
-            variables.get("batch_stats", {}), raw.get("batch_stats", {})
+        out["batch_stats"] = _cast_like(
+            serialization.from_state_dict(
+                variables.get("batch_stats", {}), raw.get("batch_stats", {})
+            ),
+            variables.get("batch_stats", {}),
         )
     return out, payload["best_para"]
 
