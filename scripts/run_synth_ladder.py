@@ -115,6 +115,12 @@ def main():
     ap.add_argument("--epochs", type=int, default=5)
     ap.add_argument("--max-iter", type=int, default=1000)
     ap.add_argument(
+        "--trainset-scenes",
+        default=None,
+        help="comma-separated scene subset for trainset baking (the FCGF "
+        "corpus can be much larger than the PartI bake set)",
+    )
+    ap.add_argument(
         "--stage-timeout", type=float, default=0,
         help="per-stage wall-clock cap in seconds (0 = none); stages "
         "are idempotent so a timed-out run can simply be relaunched",
@@ -203,7 +209,9 @@ def main():
             "--origin-dir", args.origin_dir, "--model-dir", args.model_dir,
             "--val-scenes", VAL,
             "--output-dir", train_cache,
-        ])
+        ] + (
+            ["--scenes", args.trainset_scenes] if args.trainset_scenes else []
+        ))
 
     if "part1" in stages:
         run([

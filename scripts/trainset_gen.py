@@ -29,6 +29,13 @@ def main():
         help="comma-separated held-out scenes (default: the 3dmatch VAL_SCENES)",
     )
     ap.add_argument("--stage", default="all", choices=["all", "filter", "lift", "bake"])
+    ap.add_argument(
+        "--scenes",
+        default=None,
+        help="comma-separated scene subset to bake from (default: all). "
+        "Lets the FCGF corpus grow (cheap, fights backbone overfit) "
+        "without scaling the 5x60-lift cost of PartI trainset baking.",
+    )
     args = ap.parse_args()
 
     import jax
@@ -55,6 +62,13 @@ def main():
         VAL_SCENES if args.val_scenes is None else args.val_scenes.split(",")
     )
     datasets = get_datasets(args.dataset, args.origin_dir)
+    if args.scenes:
+        keep = set(args.scenes.split(","))
+        datasets = {
+            k: v
+            for k, v in datasets.items()
+            if k in ("wholesetname", "valscenes") or k in keep
+        }
 
     if args.stage in ("all", "filter"):
         ts.filter_keypoints_and_pairs(datasets, args.output_dir, val_scenes)
