@@ -175,6 +175,14 @@ def main():
         )
         val_batches.append({k: jnp.asarray(v) for k, v in vb.items()})
 
+    # Selector caveat (measured round 4): the held-out contrastive loss
+    # rises monotonically from ~step 2k while the train loss falls, on
+    # both a 16-scene and a 48-scene corpus — the neg-margin term
+    # penalizes global feature-space sharpening that does NOT hurt
+    # matching. Checkpoint choice should be confirmed with a matching
+    # probe (mutual-NN inlier fraction on held-out pairs; see
+    # ladder_logs/r4_probe.log pattern) rather than trusting this loss
+    # alone. TODO(next round): replace the selector with that probe.
     def val_loss(s):
         if not val_batches:
             return float("nan")
