@@ -173,6 +173,17 @@ class BaseTrainer:
         log_int = max(1, min(cfg.train_log_step, 500))
         val_int = max(1, min(cfg.val_interval, max(total_steps // 2, 1)))
         save_int = max(1, min(cfg.save_interval, val_int))
+        # Optional wall-clock cap (like train_fcgf --max-seconds): caps a
+        # stage against tunnel wedges / round budgets; the final
+        # validation below still runs, so the last state competes.
+        max_seconds = float(os.environ.get("YOHO_TRAIN_MAX_SECONDS", "0"))
+        if not max_seconds and os.path.exists(".yoho_train_cap"):
+            # file override: lets an operator cap an already-launched
+            # stage pipeline without restarting it (env is baked in)
+            with open(".yoho_train_cap") as f:
+                max_seconds = float(f.read().strip() or 0)
+        t0 = time.time()
+        capped = False
         # Host-side step mirror + deferred metric readback: calling
         # float()/int() on device values every step would block the host
         # on each dispatch, serializing host prep with device compute
@@ -180,8 +191,12 @@ class BaseTrainer:
         # stay device arrays until a log boundary.
         step = int(state.step)
         running = []
-        while step < total_steps:
+        while step < total_steps and not capped:
             for batch in train_batches():
+                if max_seconds and time.time() - t0 > max_seconds:
+                    self._log(f"wall-clock cap {max_seconds:.0f}s at step {step}")
+                    capped = True
+                    break
                 state, metrics = step_fn(state, batch)
                 running.append(metrics["loss"])
                 step += 1
