@@ -120,6 +120,31 @@ def main():
             f"{os.path.getsize(dst)/1e6:.1f} MB (step {int(state.step)}, "
             f"best {best})"
         )
+        # Provenance sidecar: PartI/PartII are functions of the backbone
+        # they were trained on. Record fingerprints of both the live and
+        # the released backbone files so run_synth_ladder's bootstrap
+        # can refuse to resurrect them against a different backbone.
+        if name != "Backbone":
+            import importlib.util
+
+            spec = importlib.util.spec_from_file_location(
+                "_ladder",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "run_synth_ladder.py"),
+            )
+            _ladder = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(_ladder)
+            fingerprint = _ladder.fingerprint
+
+            fps = []
+            for bb in (
+                os.path.join(args.model_dir, "Backbone", "model_best.pkl"),
+                os.path.join(args.out_dir, "Backbone", "model_best.pkl"),
+            ):
+                if os.path.exists(bb):
+                    fps.append(fingerprint([bb]))
+            with open(os.path.join(dst_dir, ".backbone_fp"), "w") as f:
+                f.write("\n".join(fps))
 
 
 if __name__ == "__main__":

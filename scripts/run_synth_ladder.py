@@ -152,15 +152,37 @@ def main():
     for part in ("Backbone", "PartI", "PartII"):
         rel = os.path.join(REPO, "model_release", part, "model_best.pkl")
         dst_dir = os.path.join(args.model_dir, part)
-        if os.path.exists(rel) and not os.path.exists(
+        if not (os.path.exists(rel) and not os.path.exists(
             os.path.join(dst_dir, "model.pkl")
-        ):
-            import shutil
+        )):
+            continue
+        # Provenance guard: PartI/PartII releases are functions of the
+        # backbone they were trained on (export_release records its
+        # fingerprint in a .backbone_fp sidecar). If the live backbone
+        # differs, re-copying would resurrect weights a fingerprint wipe
+        # just invalidated (observed live in round 4: a retried trainset
+        # stage re-bootstrapped stale PartI/PartII after the wipe).
+        sidecar = os.path.join(REPO, "model_release", part, ".backbone_fp")
+        if part != "Backbone" and os.path.exists(sidecar):
+            live_bb = os.path.join(args.model_dir, "Backbone", "model_best.pkl")
+            ref_bb = live_bb if os.path.exists(live_bb) else os.path.join(
+                REPO, "model_release", "Backbone", "model_best.pkl"
+            )
+            with open(sidecar) as f:
+                want = f.read().split()
+            if fingerprint([ref_bb]) not in want:
+                print(
+                    f"skip bootstrap of {part}: release was trained on a "
+                    "different backbone (.backbone_fp mismatch)",
+                    flush=True,
+                )
+                continue
+        import shutil
 
-            os.makedirs(dst_dir, exist_ok=True)
-            shutil.copy(rel, os.path.join(dst_dir, "model.pkl"))
-            shutil.copy(rel, os.path.join(dst_dir, "model_best.pkl"))
-            print(f"bootstrapped {part} from model_release/", flush=True)
+        os.makedirs(dst_dir, exist_ok=True)
+        shutil.copy(rel, os.path.join(dst_dir, "model.pkl"))
+        shutil.copy(rel, os.path.join(dst_dir, "model_best.pkl"))
+        print(f"bootstrapped {part} from model_release/", flush=True)
 
     if "corpus" in stages:
         sys.path.insert(0, REPO)
