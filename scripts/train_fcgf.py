@@ -35,6 +35,12 @@ def main():
     ap.add_argument("--val-interval", type=int, default=2000)
     ap.add_argument("--save-interval", type=int, default=1000)
     ap.add_argument("--n-pos", type=int, default=512)
+    ap.add_argument("--pos-margin", type=float, default=0.1)
+    ap.add_argument(
+        "--neg-margin", type=float, default=1.4,
+        help="FCGF-published default; on L2-normalized features use a "
+        "sphere-scaled value (~0.7) — see docs/FCGF_TRAINING.md",
+    )
     ap.add_argument(
         "--reset-best",
         action="store_true",
@@ -151,12 +157,14 @@ def main():
         make_step_batch = lambda _: sample_batch()
         step_fn = jax.jit(
             lambda s, b, k: fcgf_train_step(
-                model, opt, s, b, vs, cfg.backbone.conv1_kernel_size, k
+                model, opt, s, b, vs, cfg.backbone.conv1_kernel_size, k,
+                pos_margin=args.pos_margin, neg_margin=args.neg_margin,
             )
         )
     eval_fn = jax.jit(
         lambda s, b, k: fcgf_eval_loss(
-            model, s, b, vs, cfg.backbone.conv1_kernel_size, k
+            model, s, b, vs, cfg.backbone.conv1_kernel_size, k,
+            pos_margin=args.pos_margin, neg_margin=args.neg_margin,
         )
     )
 

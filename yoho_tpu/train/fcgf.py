@@ -104,6 +104,8 @@ def fcgf_grads(
     voxel_size: float,
     conv1_kernel_size: int,
     key: jax.Array,
+    pos_margin: float = 0.1,
+    neg_margin: float = 1.4,
 ):
     """Gradients for one fragment pair: voxelize both clouds, run the
     UNet, contrastive loss. Returns (grads, new_batch_stats, metrics) —
@@ -155,7 +157,8 @@ def fcgf_grads(
         vox_xyz0 = batch["points0"][first0]
         vox_xyz1 = batch["points1"][first1]
         loss, aux = hardest_contrastive_loss(
-            f0, f1, p0.mask1, p1.mask1, vox_xyz0, vox_xyz1, pos, pmask, key=key
+            f0, f1, p0.mask1, p1.mask1, vox_xyz0, vox_xyz1, pos, pmask,
+            pos_margin=pos_margin, neg_margin=neg_margin, key=key,
         )
         return loss, (aux, stats1)
 
@@ -172,6 +175,8 @@ def fcgf_eval_loss(
     voxel_size: float,
     conv1_kernel_size: int,
     key: jax.Array,
+    pos_margin: float = 0.1,
+    neg_margin: float = 1.4,
 ):
     """Held-out validation loss for one fragment pair: same objective as
     ``fcgf_grads`` but eval-mode (no grads, batch_stats frozen). Used by
@@ -213,6 +218,8 @@ def fcgf_eval_loss(
         batch["points1"][first1],
         pos,
         pmask,
+        pos_margin=pos_margin,
+        neg_margin=neg_margin,
         key=key,
     )
     return loss, aux
@@ -226,10 +233,20 @@ def fcgf_train_step(
     voxel_size: float,
     conv1_kernel_size: int,
     key: jax.Array,
+    pos_margin: float = 0.1,
+    neg_margin: float = 1.4,
 ):
-    """Single-device step: grads + Adam update (see ``fcgf_grads``)."""
+    """Single-device step: grads + Adam update (see ``fcgf_grads``).
+
+    Margin geometry note (docs/FCGF_TRAINING.md): the FCGF-published
+    m_neg=1.4 lives in an UNNORMALIZED feature space; on L2-normalized
+    32-d features (max distance 2.0) it demands near-anticorrelated
+    hardest negatives and was measured to collapse the feature space.
+    Pass sphere-scaled margins (e.g. neg 0.7) for normalized training.
+    """
     grads, new_stats, metrics = fcgf_grads(
-        model, state, batch, voxel_size, conv1_kernel_size, key
+        model, state, batch, voxel_size, conv1_kernel_size, key,
+        pos_margin=pos_margin, neg_margin=neg_margin,
     )
     updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
