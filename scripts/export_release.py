@@ -36,6 +36,13 @@ def main():
     )
     args = ap.parse_args()
 
+    # Checkpoint storage policy (round-5, advisor item): the ONLY weight
+    # blobs tracked in git are the float16, optimizer-stripped release
+    # checkpoints this script writes (plus their provenance sidecars and
+    # the MANIFEST.json below). Full float32 training checkpoints live
+    # in the gitignored model/ tree and must never be committed — two
+    # 105 MB f32 A/B checkpoints once pushed .git close to 1 GB.
+
     import jax
     import jax.numpy as jnp
 
@@ -81,6 +88,7 @@ def main():
         "PartI": part1_template,
         "PartII": part2_template,
     }
+    manifest = {}
     for name, make_template in parts.items():
         src = os.path.join(args.model_dir, name, "model_best.pkl")
         if not os.path.exists(src):
@@ -145,6 +153,24 @@ def main():
                     fps.append(fingerprint([bb]))
             with open(os.path.join(dst_dir, ".backbone_fp"), "w") as f:
                 f.write("\n".join(fps))
+        import hashlib
+
+        with open(dst, "rb") as f:
+            sha = hashlib.sha256(f.read()).hexdigest()
+        manifest[name] = {
+            "path": os.path.relpath(dst, args.out_dir),
+            "sha256": sha,
+            "step": int(state.step),
+            "best": float(best) if best is not None else None,
+            "dtype": args.dtype,
+        }
+    if manifest:
+        import json
+
+        mfn = os.path.join(args.out_dir, "MANIFEST.json")
+        with open(mfn, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        print(f"wrote {mfn}")
 
 
 if __name__ == "__main__":
