@@ -77,12 +77,15 @@ def main():
         f = model.apply(variables, jnp.ones((pad, 1), jnp.float32), plan, False)
         return f, points[first], plan.mask1
 
+    from yoho_tpu.train.probe import collapse_stats, probe_inlier_fractions
+
     ds = get_datasets(args.dataset, args.origin_dir)[args.scene]
     pairs = ds.pair_ids[: args.pairs]
-    rng = np.random.default_rng(0)
     clouds = {}
 
     def cloud(i):
+        # random (NOT prefix) subsample happens inside the probe module;
+        # voxel rows are key-sorted, a prefix is one spatial corner
         if i not in clouds:
             reps = host_prevoxelize(ds.get_pc(i), vs, pad)
             p = np.zeros((pad, 3), np.float32)
@@ -91,68 +94,44 @@ def main():
             clouds[i] = (jnp.asarray(p), n)
         return clouds[i]
 
-    def inlier_frac(variables, oracle=False):
-        fr = []
-        for a, b in pairs:
-            (pa, na), (pb, nb) = cloud(a), cloud(b)
-            fa, xa, ma = map(np.asarray, featurize(variables, pa, na))
-            fb, xb, mb = map(np.asarray, featurize(variables, pb, nb))
-            # random (NOT prefix) subsample: voxel rows are key-sorted,
-            # a prefix is one spatial corner of the cloud
-            ia = rng.permutation(np.where(ma)[0])[:4000]
-            ib = rng.permutation(np.where(mb)[0])[:4000]
-            if oracle:
-                d = -((xa[ia][:, None, :] - xb[ib][None, :, :]) ** 2).sum(-1)
-            else:
-                d = fa[ia] @ fb[ib].T
-            nn_ab = d.argmax(1)
-            nn_ba = d.argmax(0)
-            mutual = nn_ba[nn_ab] == np.arange(len(ia))
-            if mutual.sum() == 0:
-                fr.append(0.0)
-                continue
-            dist = np.linalg.norm(xa[ia][mutual] - xb[ib][nn_ab[mutual]], axis=1)
-            fr.append(float((dist < args.inlier_dist).mean()))
-        return fr
+    pair_clouds = [(cloud(a), cloud(b)) for a, b in pairs]
 
-    def collapse_stats(variables, tag):
-        a, b = pairs[0]
-        (pa, na), (pb, nb) = cloud(a), cloud(b)
-        fa, xa, ma = map(np.asarray, featurize(variables, pa, na))
-        fb, xb, mb = map(np.asarray, featurize(variables, pb, nb))
-        ia = rng.permutation(np.where(ma)[0])[:3000]
-        ib_all = np.where(mb)[0]
-        d2 = ((xa[ia][:, None, :] - xb[ib_all][None, :, :]) ** 2).sum(-1)
-        nn = d2.argmin(1)
-        ok = np.sqrt(d2[np.arange(len(ia)), nn]) < 0.05
-        fpos_a = fa[ia][ok]
-        d_pos = np.linalg.norm(fpos_a - fb[ib_all[nn[ok]]], axis=1).mean()
-        jr = rng.permutation(ib_all)[: int(ok.sum())]
-        d_rand = np.linalg.norm(fpos_a - fb[jr], axis=1).mean()
-        s = fa[rng.permutation(np.where(ma)[0])[:1000]]
-        spread = np.linalg.norm(s[:500, None] - s[None, 500:1000], axis=-1).mean()
-        print(
-            f"{tag}: d_pos={d_pos:.3f} d_rand={d_rand:.3f} "
-            f"ratio={d_rand / max(d_pos, 1e-9):.2f} spread={spread:.3f}",
-            flush=True,
-        )
+    def scorer(variables):
+        fz = lambda p, n: tuple(np.asarray(x) for x in featurize(variables, p, n))
 
-    o = inlier_frac(v0, oracle=True)
+        def frac(oracle=False):
+            return probe_inlier_fractions(
+                fz, pair_clouds, inlier_dist=args.inlier_dist, oracle=oracle
+            )
+
+        def stats(tag):
+            st = collapse_stats(fz, pair_clouds[0])
+            print(
+                f"{tag}: d_pos={st['d_pos']:.3f} d_rand={st['d_rand']:.3f} "
+                f"ratio={st['ratio']:.2f} spread={st['spread']:.3f}",
+                flush=True,
+            )
+
+        return frac, stats
+
+    frac0, stats0 = scorer(v0)
+    o = frac0(oracle=True)
     print(f"coordinate-oracle ceiling: mean={np.mean(o):.3f}", flush=True)
-    r = inlier_frac(v0)
+    r = frac0()
     print(f"random-init floor: mean={np.mean(r):.3f}", flush=True)
-    collapse_stats(v0, "random-init")
+    stats0("random-init")
     for name in args.ckpts:
         state = init_train_state(v0, make_optimizer(cfg.train, 1))
         state, _ = load_checkpoint(name, state)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        fr = inlier_frac(variables)
+        frac, stats = scorer(variables)
+        fr = frac()
         print(
             f"{name} step={int(state.step)}: "
             f"{['%.3f' % f for f in fr]} mean={np.mean(fr):.3f}",
             flush=True,
         )
-        collapse_stats(variables, f"  {name}")
+        stats(f"  {name}")
 
 
 if __name__ == "__main__":

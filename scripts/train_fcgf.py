@@ -35,6 +35,20 @@ def main():
     ap.add_argument("--val-interval", type=int, default=2000)
     ap.add_argument("--save-interval", type=int, default=1000)
     ap.add_argument("--n-pos", type=int, default=512)
+    ap.add_argument(
+        "--batch-pairs", type=int, default=4,
+        help="fragment pairs per optimizer step, as vmap lanes of one "
+        "dispatch (reference FCGF recipe: batch 4, README.md:127); "
+        ">1 device uses one pair per device instead",
+    )
+    ap.add_argument(
+        "--select", default="probe", choices=["probe", "val_loss"],
+        help="best-checkpoint selector: mutual-NN matching probe on "
+        "held-out pairs (ground-truth signal, docs/FCGF_TRAINING.md) "
+        "or the held-out contrastive loss (round-4 legacy)",
+    )
+    ap.add_argument("--probe-pairs", type=int, default=6)
+    ap.add_argument("--probe-inlier-dist", type=float, default=0.10)
     ap.add_argument("--pos-margin", type=float, default=0.1)
     ap.add_argument(
         "--neg-margin", type=float, default=1.4,
@@ -109,6 +123,10 @@ def main():
             get_cloud(ds, a), get_cloud(ds, b), vs, pad, n_pos=args.n_pos, rng=rng
         )
 
+    def sample_batch_stack(n):
+        bs = [sample_batch() for _ in range(n)]
+        return {k: np.stack([b[k] for b in bs]) for k in bs[0]}
+
     pts = jnp.zeros((pad, 3), jnp.float32)
     g0, _ = jax.jit(lambda p: build_grid(p, vs, 10))(pts)
     plan0 = jax.jit(lambda g: build_unet_plan(g, cfg.backbone.conv1_kernel_size))(g0)
@@ -130,6 +148,11 @@ def main():
         if args.reset_best:
             print(f"--reset-best: dropping stored best {best:.4f}")
             best = 1e9
+        elif args.select == "probe" and 0 < best < 1e9:
+            # stored best is a contrastive-loss value (old selector);
+            # probe values are stored negated (in [-1, 0])
+            print(f"selector changed to probe: dropping stored best {best:.4f}")
+            best = 1e9
 
     # >1 device: data-parallel step, one fragment pair per device with
     # pmean'd gradients (parallel/sharded.py; DDP analog). 1 device:
@@ -141,18 +164,28 @@ def main():
 
         dp_mesh = make_mesh(n_dev, 1)
         dp_fn = make_fcgf_train_step_dp(
-            dp_mesh, model, opt, vs, cfg.backbone.conv1_kernel_size
+            dp_mesh, model, opt, vs, cfg.backbone.conv1_kernel_size,
+            pos_margin=args.pos_margin, neg_margin=args.neg_margin,
         )
-        print(f"data-parallel training over {n_dev} devices")
+        print(f"data-parallel training over {n_dev} devices (1 pair/device)")
 
-        def make_step_batch(_):
-            bs = [sample_batch() for _ in range(n_dev)]
-            return {k: np.stack([b[k] for b in bs]) for k in bs[0]}
+        make_step_batch = lambda _: sample_batch_stack(n_dev)
 
         def step_fn(s, b, k):
             with dp_mesh:
                 return dp_fn(s, b, k)
 
+    elif args.batch_pairs > 1:
+        from yoho_tpu.train.fcgf import fcgf_train_step_batched
+
+        print(f"batched training: {args.batch_pairs} pairs/step (vmap lanes)")
+        make_step_batch = lambda _: sample_batch_stack(args.batch_pairs)
+        step_fn = jax.jit(
+            lambda s, b, k: fcgf_train_step_batched(
+                model, opt, s, b, vs, cfg.backbone.conv1_kernel_size, k,
+                pos_margin=args.pos_margin, neg_margin=args.neg_margin,
+            )
+        )
     else:
         make_step_batch = lambda _: sample_batch()
         step_fn = jax.jit(
@@ -183,14 +216,6 @@ def main():
         )
         val_batches.append({k: jnp.asarray(v) for k, v in vb.items()})
 
-    # Selector caveat (measured round 4): the held-out contrastive loss
-    # rises monotonically from ~step 2k while the train loss falls, on
-    # both a 16-scene and a 48-scene corpus — the neg-margin term
-    # penalizes global feature-space sharpening that does NOT hurt
-    # matching. Checkpoint choice should be confirmed with a matching
-    # probe (mutual-NN inlier fraction on held-out pairs; see
-    # ladder_logs/r4_probe.log pattern) rather than trusting this loss
-    # alone. TODO(next round): replace the selector with that probe.
     def val_loss(s):
         if not val_batches:
             return float("nan")
@@ -199,6 +224,68 @@ def main():
             for i, vb in enumerate(val_batches)
         ]
         return float(np.mean(losses))
+
+    # Matching-probe selector (default): mutual-NN inlier fraction on
+    # held-out ALIGNED pairs — the ground-truth signal. Round 4 measured
+    # that the held-out contrastive loss is only a weak selector (its
+    # neg term penalizes feature-space sharpening that does not hurt
+    # matching; docs/FCGF_TRAINING.md). Stored "best" is negated so that
+    # lower-is-better holds for both selectors in the checkpoint file.
+    from yoho_tpu.train.probe import probe_inlier_fractions
+
+    probe_pair_clouds = []
+    if args.select == "probe":
+        pr = np.random.default_rng(7)
+        idx = pr.choice(
+            len(val_pair_list),
+            size=min(args.probe_pairs, len(val_pair_list)),
+            replace=False,
+        ) if val_pair_list else []
+        for i in idx:
+            ds, (a, b) = val_pair_list[int(i)]
+            pcs = []
+            for pc_id in (a, b):
+                reps = get_cloud(ds, pc_id)
+                p = np.zeros((pad, 3), np.float32)
+                n = min(len(reps), pad)
+                p[:n] = reps[:n]
+                pcs.append((jnp.asarray(p), n))
+            probe_pair_clouds.append(tuple(pcs))
+        if not probe_pair_clouds:
+            print("WARNING: no val pairs for the probe; selecting on val_loss")
+            args.select = "val_loss"
+
+    @jax.jit
+    def probe_featurize(variables, points, n):
+        from yoho_tpu.models.plan import build_unet_plan as _bup
+        from yoho_tpu.ops.voxel import build_grid as _bg
+
+        grid, first = _bg(points, vs, n)
+        plan = _bup(grid, cfg.backbone.conv1_kernel_size)
+        f = model.apply(variables, jnp.ones((pad, 1), jnp.float32), plan, False)
+        return f, points[first], plan.mask1
+
+    def probe_score(s):
+        variables = {"params": s.params, "batch_stats": s.batch_stats}
+        fr = probe_inlier_fractions(
+            lambda p, n: tuple(
+                np.asarray(x) for x in probe_featurize(variables, p, n)
+            ),
+            probe_pair_clouds,
+            inlier_dist=args.probe_inlier_dist,
+        )
+        return float(np.mean(fr))
+
+    def selector_value(s):
+        """Current selector value (lower is better) + a display string."""
+        if args.select == "probe":
+            frac = probe_score(s)
+            loss = val_loss(s)
+            return -frac, f"probe_inlier {frac:.4f} (val_loss {loss:.4f})"
+        cur = val_loss(s)
+        if np.isnan(cur):  # no val scenes: fall back to train-loss proxy
+            cur = float(np.mean(running[-100:])) if running else 1e9
+        return cur, f"val_loss {cur:.4f}"
 
     # async host pipeline: batch i+1 is mined/padded on a background
     # thread while the device runs step i (reference analog: 16
@@ -240,11 +327,8 @@ def main():
         if step % args.save_interval == 0:
             save_checkpoint(ckpt, state, best)
         if step % args.val_interval == 0:
-            # eval-mode contrastive loss on fixed held-out scene pairs
-            cur = val_loss(state)
-            if np.isnan(cur):  # no val scenes: fall back to train-loss proxy
-                cur = float(np.mean(running[-100:]))
-            print(f"step {step} val_loss {cur:.4f} (best {best:.4f})", flush=True)
+            cur, disp = selector_value(state)
+            print(f"step {step} {disp} (best {best:.4f})", flush=True)
             if cur < best:
                 best = cur
                 save_checkpoint(best_fn, state, best)
@@ -255,10 +339,8 @@ def main():
     # candidates for model_best (a 3,398-step run once shipped its
     # step-2000 checkpoint).
     if int(state.step) % args.val_interval != 0:
-        cur = val_loss(state)
-        if np.isnan(cur):
-            cur = float(np.mean(running[-100:])) if running else best
-        print(f"final val_loss {cur:.4f} (best {best:.4f})", flush=True)
+        cur, disp = selector_value(state)
+        print(f"final {disp} (best {best:.4f})", flush=True)
         if cur < best:
             best = cur
             save_checkpoint(best_fn, state, best)

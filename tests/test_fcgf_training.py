@@ -92,3 +92,71 @@ def test_fcgf_train_step_learns(rng):
         losses.append(float(metrics["loss"]))
         assert np.isfinite(losses[-1])
     assert losses[-1] < losses[0]
+
+
+def test_fcgf_batched_step_equals_mean_grads(rng):
+    """fcgf_train_step_batched(B pairs) == one update from the mean of
+    the per-pair gradients (the same contract the DP step satisfies,
+    tests/test_sharded.py::test_fcgf_train_step_dp_equals_mean_grads)."""
+    import optax
+
+    from yoho_tpu.models.plan import build_unet_plan
+    from yoho_tpu.ops.voxel import build_grid
+    from yoho_tpu.train.fcgf import fcgf_grads, fcgf_train_step_batched
+    from yoho_tpu.train.steps import TrainState
+
+    cfg = default_config()
+    bcfg = dataclasses.replace(cfg.backbone, conv1_kernel_size=3, voxel_size=0.1)
+    model = SparseResUNet(bcfg)
+    pad, B = 256, 3
+    pts = jnp.zeros((pad, 3), jnp.float32)
+    g0, _ = jax.jit(lambda p: build_grid(p, 0.1, 10))(pts)
+    plan0 = jax.jit(lambda g: build_unet_plan(g, 3))(g0)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.ones((pad, 1), jnp.float32), plan0, False
+    )
+    opt = optax.sgd(1e-2)  # linear in grad: tight comparison (see DP test)
+    state = init_train_state(variables, opt)
+
+    singles = []
+    for _ in range(B):
+        cloud = rng.uniform(-0.6, 0.6, size=(200, 3)).astype(np.float32)
+        singles.append(
+            make_fcgf_batch(cloud, cloud.copy(), 0.1, pad, n_pos=64, rng=rng)
+        )
+    batch = {
+        k: jnp.asarray(np.stack([s[k] for s in singles])) for k in singles[0]
+    }
+    key = jax.random.PRNGKey(5)
+    new_state, metrics = jax.jit(
+        lambda s, b, k: fcgf_train_step_batched(
+            model, opt, s, b, 0.1, 3, k, neg_margin=0.7
+        )
+    )(state, batch, key)
+
+    keys = jax.random.split(key, B)
+    grads_all, stats_all, mets = [], [], []
+    for i in range(B):
+        g, st, m = fcgf_grads(
+            model, state, {k: jnp.asarray(v) for k, v in singles[i].items()},
+            0.1, 3, keys[i], neg_margin=0.7,
+        )
+        grads_all.append(g)
+        stats_all.append(st)
+        mets.append(m)
+    gmean = jax.tree.map(lambda *x: jnp.mean(jnp.stack(x), 0), *grads_all)
+    smean = jax.tree.map(lambda *x: jnp.mean(jnp.stack(x), 0), *stats_all)
+    updates, _ = opt.update(gmean, state.opt_state, state.params)
+    ref_params = optax.apply_updates(state.params, updates)
+
+    for a, b2 in zip(
+        jax.tree.leaves(new_state.params), jax.tree.leaves(ref_params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2), atol=1e-6)
+    for a, b2 in zip(
+        jax.tree.leaves(new_state.batch_stats), jax.tree.leaves(smean)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2), atol=1e-5)
+    ref_loss = float(np.mean([float(m["loss"]) for m in mets]))
+    assert abs(float(metrics["loss"]) - ref_loss) < 1e-5
+    assert int(new_state.step) == 1

@@ -171,7 +171,10 @@ def make_sharded_ransac_o(mesh, inlier_dist: float):
     return run
 
 
-def make_fcgf_train_step_dp(mesh, model, optimizer, voxel_size, conv1_kernel_size):
+def make_fcgf_train_step_dp(
+    mesh, model, optimizer, voxel_size, conv1_kernel_size,
+    pos_margin: float = 0.1, neg_margin: float = 1.4,
+):
     """Data-parallel FCGF training: one fragment pair per ``data``-axis
     device, gradients and batch stats pmean'd (DDP analog, reference
     ``MinkowskiEngine/examples/multigpu_ddp.py:82-91``).
@@ -189,7 +192,8 @@ def make_fcgf_train_step_dp(mesh, model, optimizer, voxel_size, conv1_kernel_siz
         keys = jax.random.split(key, mesh.shape["data"])
         k = keys[jax.lax.axis_index("data")]
         grads, new_stats, metrics = fcgf_grads(
-            model, state, local, voxel_size, conv1_kernel_size, k
+            model, state, local, voxel_size, conv1_kernel_size, k,
+            pos_margin=pos_margin, neg_margin=neg_margin,
         )
         grads = jax.lax.pmean(grads, "data")
         new_stats = jax.lax.pmean(new_stats, "data")

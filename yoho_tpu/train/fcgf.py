@@ -251,3 +251,45 @@ def fcgf_train_step(
     updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     return TrainState(new_params, new_stats, new_opt, state.step + 1), metrics
+
+
+def fcgf_train_step_batched(
+    model,
+    optimizer,
+    state: TrainState,
+    batch: dict,
+    voxel_size: float,
+    conv1_kernel_size: int,
+    key: jax.Array,
+    pos_margin: float = 0.1,
+    neg_margin: float = 1.4,
+):
+    """Single-device step over a STACK of fragment pairs.
+
+    batch leaves carry a leading batch axis B (``points0``: (B, N_pad, 3)
+    etc., as built by stacking ``make_fcgf_batch`` outputs). Per-pair
+    gradients/batch-stats/metrics are computed as vmap lanes of one
+    dispatch and averaged before a single optimizer update — the
+    reference FCGF recipe trains with batch 4 pairs per step
+    (``/root/reference/README.md:127``; round-4 analysis: 1-pair steps
+    make hardest-negative mining noisy). Equivalent to the mean of
+    per-pair ``fcgf_grads`` (tested in ``tests/test_fcgf_training.py``),
+    and to the data-parallel step with B devices
+    (``parallel/sharded.py:make_fcgf_train_step_dp``) on one chip.
+    """
+    n_pairs = batch["n0"].shape[0]
+    keys = jax.random.split(key, n_pairs)
+
+    def per_pair(b, k):
+        return fcgf_grads(
+            model, state, b, voxel_size, conv1_kernel_size, k,
+            pos_margin=pos_margin, neg_margin=neg_margin,
+        )
+
+    grads, new_stats, metrics = jax.vmap(per_pair)(batch, keys)
+    grads = jax.tree.map(lambda x: x.mean(0), grads)
+    new_stats = jax.tree.map(lambda x: x.mean(0), new_stats)
+    metrics = jax.tree.map(lambda x: x.mean(0), metrics)
+    updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return TrainState(new_params, new_stats, new_opt, state.step + 1), metrics
