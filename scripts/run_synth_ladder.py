@@ -220,12 +220,29 @@ def main():
         # function of (corpus, backbone weights): invalidate the cache
         # AND the downstream PartI/PartII models when either changed.
         fp = corpus_fingerprint(args.origin_dir) + fingerprint([bb_best])
-        check_fp(
-            os.path.join(args.cache_root, ".train_cache_fp"), fp,
-            [train_cache,
-             os.path.join(args.model_dir, "PartI"),
-             os.path.join(args.model_dir, "PartII")],
-        )
+        marker = os.path.join(args.cache_root, ".train_cache_fp")
+        stale = [train_cache,
+                 os.path.join(args.model_dir, "PartI"),
+                 os.path.join(args.model_dir, "PartII")]
+        if not os.path.exists(marker):
+            # Fresh clone: the marker lives in the gitignored cache_root,
+            # so its absence is NOT evidence of changed inputs. If the
+            # live backbone matches the committed release provenance
+            # sidecar, the bootstrapped PartI/PartII weights are valid —
+            # don't wipe them (advisor round-4 finding); the (absent)
+            # train_cache still regenerates.
+            sidecar = os.path.join(REPO, "model_release", "PartI", ".backbone_fp")
+            if os.path.exists(sidecar):
+                with open(sidecar) as f:
+                    want = f.read().split()
+                if os.path.exists(bb_best) and fingerprint([bb_best]) in want:
+                    print(
+                        "fresh marker: backbone matches release sidecar; "
+                        "keeping bootstrapped PartI/PartII",
+                        flush=True,
+                    )
+                    stale = [train_cache]
+        check_fp(marker, fp, stale)
         run([
             py, "scripts/trainset_gen.py", "--dataset", "synth_train",
             "--origin-dir", args.origin_dir, "--model-dir", args.model_dir,

@@ -86,3 +86,32 @@ def test_features_at_coordinates_interpolates(rng):
         trilinear_interpolate(st.grid, st.feats, jnp.asarray(q), vs)
     )
     np.testing.assert_allclose(got, q @ A, rtol=1e-4, atol=1e-4)
+
+
+def test_sparse_inverse_pad_sentinel_when_grid_full(rng):
+    """Invalid/unmappable points' inverse entry must be the OUT-OF-RANGE
+    sentinel (== out_size), never an in-range row (advisor round-4
+    finding: the old out_size-1 sentinel aliased the reserved zero row
+    and reads the contract as a live-row association when the bucket
+    saturates)."""
+    vs = 0.1
+    # 8 points in 8 distinct voxels; bucket 8 holds at most 7 voxels
+    # (row out_size-1 is the reserved zero row), so one voxel drops
+    pts = (np.arange(8)[:, None] * np.array([[1.0, 0, 0]])).astype(np.float32) * vs
+    pad = 12
+    ppad = np.zeros((pad, 3), np.float32)
+    ppad[:8] = pts
+    # pad rows coincide with voxel 0's position: without masking they
+    # would look like valid members of a live voxel
+    feats = np.ones((pad, 2), np.float32)
+    tf = field_from_points(jnp.asarray(ppad), jnp.asarray(feats), 8)
+    st, inverse = jax.jit(lambda f: f.sparse(vs, 8))(tf)
+    assert int(st.grid.count) == 7 and int(st.grid.dropped) == 1
+    inv = np.asarray(inverse)
+    # 7 points land in live rows; the dropped voxel's point and every
+    # pad row get the out-of-range sentinel
+    assert ((inv[:8] < 7) | (inv[:8] == 8)).all(), inv[:8]
+    assert (inv[:8] == 8).sum() == 1
+    assert (inv[8:] == 8).all(), inv[8:]
+    # voxel 0's mean is unaffected by the coincident pad rows
+    np.testing.assert_allclose(np.asarray(st.feats)[inv[0]], [1.0, 1.0])

@@ -32,9 +32,19 @@ def test_registry_complete():
     assert not missing, f"missing reference backbones: {missing}"
 
 
+# fast tier keeps two cheap representatives (plain-BN simpleunet + the
+# dense-1x1-tail family); the expensive ResUNet/IN variants run in the
+# slow tier — ResUNetBN2C (the production topology) is exercised all
+# over the fast tier already (pytest.ini: fast tier promises < 2 min).
 @pytest.mark.parametrize(
     "name",
-    ["ResUNet2", "ResUNetIN2E", "SimpleNetBN", "SimpleNetIN2", "SimpleNetBN3E"],
+    [
+        pytest.param("ResUNet2", marks=pytest.mark.slow),
+        pytest.param("ResUNetIN2E", marks=pytest.mark.slow),
+        "SimpleNetBN",
+        pytest.param("SimpleNetIN2", marks=pytest.mark.slow),
+        "SimpleNetBN3E",
+    ],
 )
 def test_variant_forward(name, rng):
     from yoho_tpu.ops.voxel import build_grid

@@ -8,6 +8,7 @@ Mirrors the reference's test tiers: analytic small cases + gradcheck
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from yoho_tpu.ops.kernel_map import build_kernel_map, hypercube_offsets
 from yoho_tpu.ops.sparse_conv import masked_mean_var, sparse_conv
@@ -167,6 +168,7 @@ def test_conv_variants_agree(rng):
         np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5, err_msg=v)
 
 
+@pytest.mark.slow
 def test_bf16_inference_matches_f32():
     """bf16 compute dtype (BackboneConfig.dtype) must reproduce the f32
     descriptors within mixed-precision tolerance — the accuracy guard

@@ -108,6 +108,7 @@ def test_idempotent(scene):
     assert n2 == n
 
 
+@pytest.mark.slow
 def test_param_change_regenerates(tmp_path):
     """The .done sentinel encodes generation params: rescaling n_frag on
     a machine holding an older corpus must regenerate, not no-op

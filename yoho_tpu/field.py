@@ -66,7 +66,11 @@ class TensorField(NamedTuple):
         """Quantize to a sparse tensor, feature = mean over the voxel's
         field points. Returns (sparse_tensor, inverse) where
         ``inverse[i]`` is the voxel row of field point i (the ME
-        inverse_mapping; pad row for invalid points)."""
+        inverse_mapping). Invalid points get the OUT-OF-RANGE sentinel
+        ``out_size`` — not a live row (advisor round-4 finding: the old
+        ``out_size - 1`` aliases a real voxel when the grid fills the
+        bucket); the scatters below drop it via ``mode='drop'`` and
+        consumers can test ``inverse < out_size``."""
         n = self.coords.shape[0]
         out_size = out_size or n
         coords = self.quantized_coords(voxel_size)
@@ -74,7 +78,7 @@ class TensorField(NamedTuple):
         q_hi, q_lo = pack_keys(coords)
         idx, found = search_keys(grid, q_hi, q_lo)
         ok = found & self.mask
-        inverse = jnp.where(ok, idx, out_size - 1)
+        inverse = jnp.where(ok, idx, out_size)
         fm = jnp.where(ok[:, None], self.feats, 0.0)
         ssum = jnp.zeros((out_size, self.feats.shape[1]), self.feats.dtype)
         ssum = ssum.at[inverse].add(fm, mode="drop")
