@@ -101,16 +101,22 @@ def main():
 
         def lift_for_bucket(bucket):
             if bucket not in lift_cache:
+                # cast to f16 ON DEVICE: halves the D2H transfer (round-4
+                # measurement: host I/O was ~2/3 of the 26 s/cloud pace,
+                # docs/PERF.md) and the on-disk Rotated_Features cache
                 lift_cache[bucket] = jax.jit(
                     lambda points, n, keys: lift_group_features(
                         fcgf_apply, fcgf_vars, points, n, keys,
                         cfg.backbone.voxel_size, cfg.backbone.conv1_kernel_size,
                         rotations_per_batch=6,
-                    )
+                    ).astype(jnp.float16)
                 )
             return lift_cache[bucket]
 
         def lift_fn(pc_r, keys_r):
+            # returns an UNMATERIALIZED device array + the valid keypoint
+            # count; generate_rotated_features pipelines the D2H pulls
+            # one cloud behind the dispatches
             reps = host_prevoxelize(pc_r, cfg.backbone.voxel_size, pad)
             bucket = min(cfg.pad.bucket_for(len(reps)), pad)
             pts = np.zeros((bucket, 3), np.float32)
@@ -120,8 +126,7 @@ def main():
             keys_pad = np.zeros((kn_pad, 3), np.float32)
             keys_pad[: min(kn, kn_pad)] = keys_r[:kn_pad]
             lift = lift_for_bucket(bucket)
-            F = np.asarray(lift(jnp.asarray(pts), n, jnp.asarray(keys_pad)))
-            return F[:kn]
+            return lift(jnp.asarray(pts), n, jnp.asarray(keys_pad)), min(kn, kn_pad)
 
         ts.generate_rotated_features(lift_fn, datasets, args.output_dir, pad)
 

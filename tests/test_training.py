@@ -1,6 +1,8 @@
 """Training-stack tests: loss semantics, a real fit() that learns, and
 checkpoint/resume."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -307,3 +309,46 @@ def test_f16_release_roundtrip(tmp_path, rng):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3
             )
+
+
+def test_generate_rotated_features_pipelined(tmp_path, rng):
+    """The depth-1 pipelined generator writes the same content as a
+    serial materialization: f16 features, valid-kn prefix, one npz per
+    cloud, exists-skip idempotent."""
+    import types
+
+    from yoho_tpu.data.trainset import generate_rotated_features
+
+    out = str(tmp_path)
+    kdir = os.path.join(out, "Filtered_Keys", "synth/sc")
+    os.makedirs(kdir)
+    clouds = {i: rng.uniform(-1, 1, (50, 3)).astype(np.float32) for i in range(3)}
+    for i in clouds:
+        np.save(os.path.join(kdir, f"{i}_index.npy"), np.arange(7))
+
+    ds = types.SimpleNamespace(
+        name="synth/sc", pc_ids=list(clouds), get_pc=lambda i: clouds[i]
+    )
+    calls = []
+
+    def lift_fn(pc_r, keys_r):
+        calls.append(len(calls))
+        # device-array stand-in: f16 array whose rows encode the call id
+        arr = np.full((10, 4, 2), float(len(calls)), np.float16)
+        return arr, len(keys_r)
+
+    generate_rotated_features(
+        lift_fn, {"sc": ds, "wholesetname": None}, out, pad=64, n_rot=2
+    )
+    fdir = os.path.join(out, "Rotated_Features", "synth/sc")
+    assert sorted(os.listdir(fdir)) == ["0_feats.npz", "1_feats.npz", "2_feats.npz"]
+    z = np.load(os.path.join(fdir, "1_feats.npz"))
+    assert z["feats"].dtype == np.float16
+    assert z["feats"].shape == (2, 7, 4, 2)  # n_rot x kn(valid) x ...
+    assert z["Rs"].shape == (2, 3, 3)
+    # rerun: exists-skip, no extra lifts
+    n = len(calls)
+    generate_rotated_features(
+        lift_fn, {"sc": ds, "wholesetname": None}, out, pad=64, n_rot=2
+    )
+    assert len(calls) == n

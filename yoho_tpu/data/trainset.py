@@ -116,11 +116,32 @@ def generate_rotated_features(
 ) -> None:
     """Stage 2: per cloud, ``n_rot`` random rotations x 60-group lift.
 
-    ``lift_fn(points_padded, n_valid, keys) -> (kn, 60, 32)`` is the
-    jitted device lift; keypoints per cloud vary, so the caller pads
-    keys to a fixed kn and we store only the valid prefix.
+    ``lift_fn(points, keys) -> (array, kn_actual)`` is the caller's
+    (jitted) device lift. The returned array may be an UNMATERIALIZED
+    device array (JAX dispatch is async): this loop runs a 1-cloud-deep
+    pipeline — all of cloud i's rotations are enqueued, then cloud i-1's
+    results are pulled to host and saved while the device works on i.
+    Round-4 measurement: the serial version spent ~17 of ~26 s/cloud in
+    untransposed host I/O through the device tunnel (docs/PERF.md).
+
+    Features are stored float16 (descriptors are L2-normalized 32-d;
+    f16's 11-bit mantissa is far above their noise floor) — halving both
+    the device->host transfer (the caller casts on device) and the
+    on-disk cache. Consumers cast back at load (``bake_*_batches``).
     """
     rng = np.random.default_rng(seed)
+    pending = []  # [(fn, Rs, [device_arrays], [kn])] — depth-1 pipeline
+
+    def flush(n_keep: int) -> None:
+        while len(pending) > n_keep:
+            out_fn, out_Rs, devs, kns = pending.pop(0)
+            feats = np.stack(
+                [np.asarray(d)[:kn].astype(np.float16) for d, kn in zip(devs, kns)]
+            ) if len(set(kns)) == 1 else None
+            if feats is None:  # ragged kn (never in practice): save padded
+                feats = np.stack([np.asarray(d).astype(np.float16) for d in devs])
+            np.savez(out_fn, Rs=out_Rs, feats=feats)
+
     for name, dataset in datasets.items():
         if name in ("wholesetname", "valscenes"):
             continue
@@ -135,13 +156,16 @@ def generate_rotated_features(
             Rs = np.stack([random_rotation_matrix(rng) for _ in range(n_rot)]).astype(
                 np.float32
             )
-            feats = []
+            devs, kns = [], []
             for r in range(n_rot):
                 pc_r = pc @ Rs[r].T
                 keys_r = pc_r[key_index]
-                f = lift_fn(pc_r, keys_r)  # (kn_actual, 60, 32) via caller
-                feats.append(f[None])
-            np.savez(fn, Rs=Rs, feats=np.concatenate(feats, axis=0))
+                d, kn = lift_fn(pc_r, keys_r)
+                devs.append(d)
+                kns.append(kn)
+            pending.append((fn, Rs, devs, kns))
+            flush(1)
+    flush(0)
 
 
 def bake_train_batches(
