@@ -352,3 +352,97 @@ def test_generate_rotated_features_pipelined(tmp_path, rng):
         lift_fn, {"sc": ds, "wholesetname": None}, out, pad=64, n_rot=2
     )
     assert len(calls) == n
+
+
+def _oracle_part2_batch(rng, G, Ws, B=32, noise=0.0):
+    """PartII batch from ORACLE equivariant features.
+
+    Simulates a perfect backbone+PartI: per sample, a smooth random
+    function phi(Q) = tanh(W2 tanh(W1 vec(Q))) of the patch orientation
+    stands in for the lifted descriptor, so feats[g] = phi(R_g A) obeys
+    the exact lift equivariance (bake semantics, data/trainset.py
+    bake_train_batches: R maps frame0 -> frame1, feats1[g] = phi(R_g R A),
+    true_idx/delta_q from the nearest group element). Lets PartII head
+    quality be measured independently of descriptor quality (round-4
+    VERDICT weak #8)."""
+    from yoho_tpu.data.trainset import nearest_group_index
+    from yoho_tpu.utils.so3 import quaternion_from_matrix, random_rotation_matrix
+
+    def phi(Q, W1, W2):  # (..., 3, 3) -> (..., 32)
+        v = Q.reshape(*Q.shape[:-2], 9)
+        return np.tanh(np.tanh(v @ W1.T) @ W2.T)
+
+    Rg = G.rotations  # (60, 3, 3)
+    b = {k: [] for k in ("before_eqv0", "before_eqv1", "after_eqv0",
+                         "after_eqv1", "true_idx", "delta_q")}
+    for _ in range(B):
+        A = random_rotation_matrix(rng)
+        R = random_rotation_matrix(rng)
+        gi = nearest_group_index(R, Rg)
+        dq = quaternion_from_matrix(R @ Rg[gi].T)
+        orbit0 = np.einsum("gij,jk->gik", Rg, A)       # R_g A
+        orbit1 = np.einsum("gij,jk->gik", Rg, R @ A)   # R_g R A
+        for tag, (W1, W2) in zip(("before", "after"), Ws):
+            f0 = phi(orbit0, W1, W2)
+            f1 = phi(orbit1, W1, W2)
+            if noise:
+                f0 = f0 + noise * rng.normal(size=f0.shape)
+                f1 = f1 + noise * rng.normal(size=f1.shape)
+            b[f"{tag}_eqv0"].append(f0.astype(np.float32))
+            b[f"{tag}_eqv1"].append(f1.astype(np.float32))
+        b["true_idx"].append(gi)
+        b["delta_q"].append(dq.astype(np.float32))
+    return {
+        k: jnp.asarray(np.stack(v) if k != "true_idx" else np.asarray(v, np.int32))
+        for k, v in b.items()
+    }
+
+
+@pytest.mark.slow
+def test_part2_oracle_features_single_digit_degrees(rng):
+    """With oracle (perfect-equivariance) input features, the PartII
+    head + training loop must drive the residual-rotation error to
+    single digits of degrees — far below the ~identity-prediction
+    baseline. Separates head quality from descriptor quality: if the
+    ladder's PartII stalls at high error with a good backbone, the head
+    is at fault; if this test passes, the descriptors are."""
+    import dataclasses
+
+    from yoho_tpu.models.part2 import PartIINetwork
+    from yoho_tpu.train.losses import quaternion_angular_error_deg
+    from yoho_tpu.train.steps import part2_train_step
+
+    G = get_group()
+    cfg = default_config()
+    Ws = [
+        (rng.normal(size=(64, 9)), rng.normal(size=(32, 64)))
+        for _ in range(2)
+    ]
+    model = PartIINetwork(cfg.part2)
+    b0 = _oracle_part2_batch(rng, G, Ws, B=8)
+    variables = model.init(
+        jax.random.PRNGKey(0), b0["before_eqv0"], b0["before_eqv1"],
+        b0["after_eqv0"], b0["after_eqv1"], b0["true_idx"], False,
+    )
+    tcfg = dataclasses.replace(cfg.train, lr_init=1e-3)
+    opt = make_optimizer(tcfg, steps_per_epoch=10000)
+    state = init_train_state(variables, opt)
+    step = jax.jit(lambda s, b: part2_train_step(model, opt, tcfg, s, b))
+    for i in range(400):
+        state, metrics = step(state, _oracle_part2_batch(rng, G, Ws, B=32))
+    assert np.isfinite(float(metrics["loss"]))
+
+    # identity-prediction baseline: residual angle of the raw labels
+    val = _oracle_part2_batch(rng, G, Ws, B=128)
+    ident = jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (128, 1))
+    base = float(quaternion_angular_error_deg(ident, val["delta_q"]).mean())
+    q = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        val["before_eqv0"], val["before_eqv1"], val["after_eqv0"],
+        val["after_eqv1"], val["true_idx"], False,
+    )
+    err = float(quaternion_angular_error_deg(q, val["delta_q"]).mean())
+    print(f"oracle PartII: err {err:.2f} deg (identity baseline {base:.2f})")
+    assert base > 10.0  # labels carry real residuals
+    assert err < 10.0, f"PartII head failed to converge: {err:.1f} deg"
+    assert err < base / 2
