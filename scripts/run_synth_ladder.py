@@ -129,7 +129,7 @@ def main():
         "--stage",
         default="all",
         choices=["all", "corpus", "fcgf", "trainset", "part1", "part2",
-                 "eval", "eval_untrained", "results"],
+                 "eval", "eval_untrained", "results", "bench"],
     )
     args = ap.parse_args()
     global STAGE_TIMEOUT
@@ -137,7 +137,7 @@ def main():
     py = sys.executable
     stages = (
         ["corpus", "fcgf", "trainset", "part1", "part2", "eval",
-         "eval_untrained", "results"]
+         "eval_untrained", "results", "bench"]
         if args.stage == "all"
         else [args.stage]
     )
@@ -338,6 +338,24 @@ def main():
         with open(os.path.join(REPO, "RESULTS.md"), "w") as f:
             f.write("\n".join(md) + "\n")
         print("\n".join(md))
+
+    if "bench" in stages:
+        # STRICT correctness gate (round-4 VERDICT item 2): a ladder
+        # that produced trained weights must also produce a bench whose
+        # registration gate passes — regressions hard-fail the ladder
+        # instead of shipping a `valid:false` number.
+        env_note = dict(os.environ, YOHO_BENCH_STRICT="1")
+        print("\n=== bench (YOHO_BENCH_STRICT=1)", flush=True)
+        t0 = time.time()
+        prev = os.environ.get("PYTHONPATH", "")
+        env_note["PYTHONPATH"] = f"{REPO}:{prev}" if prev else REPO
+        r = subprocess.run(
+            [py, "bench.py"], cwd=REPO, env=env_note,
+            timeout=STAGE_TIMEOUT or None,
+        )
+        print(f"=== bench rc={r.returncode} in {time.time()-t0:.0f}s", flush=True)
+        if r.returncode != 0:
+            sys.exit(r.returncode)
 
 
 if __name__ == "__main__":
