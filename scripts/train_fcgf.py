@@ -178,7 +178,10 @@ def main():
     elif args.batch_pairs > 1:
         from yoho_tpu.train.fcgf import fcgf_train_step_batched
 
-        print(f"batched training: {args.batch_pairs} pairs/step (vmap lanes)")
+        print(
+            f"batched training: {args.batch_pairs} pairs/step "
+            f"({os.environ.get('YOHO_FCGF_BATCH_MODE', 'map')} mode)"
+        )
         make_step_batch = lambda _: sample_batch_stack(args.batch_pairs)
         step_fn = jax.jit(
             lambda s, b, k: fcgf_train_step_batched(

@@ -277,6 +277,8 @@ def fcgf_train_step_batched(
     and to the data-parallel step with B devices
     (``parallel/sharded.py:make_fcgf_train_step_dp``) on one chip.
     """
+    import os
+
     n_pairs = batch["n0"].shape[0]
     keys = jax.random.split(key, n_pairs)
 
@@ -286,7 +288,18 @@ def fcgf_train_step_batched(
             pos_margin=pos_margin, neg_margin=neg_margin,
         )
 
-    grads, new_stats, metrics = jax.vmap(per_pair)(batch, keys)
+    # 'map' (default) runs the pairs sequentially inside the one jitted
+    # step: vmapping the whole grads fn batches every conv gather, and
+    # batched gathers run ~4x slower than flat ones on this backend
+    # (pipeline/lifting.py measured the same effect; map-mode steps are
+    # ~1.6x faster at batch 4). 'vmap' kept for A/B.
+    mode = os.environ.get("YOHO_FCGF_BATCH_MODE", "map")
+    if mode == "vmap":
+        grads, new_stats, metrics = jax.vmap(per_pair)(batch, keys)
+    else:
+        grads, new_stats, metrics = jax.lax.map(
+            lambda bk: per_pair(*bk), (batch, keys)
+        )
     grads = jax.tree.map(lambda x: x.mean(0), grads)
     new_stats = jax.tree.map(lambda x: x.mean(0), new_stats)
     metrics = jax.tree.map(lambda x: x.mean(0), metrics)
