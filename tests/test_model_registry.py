@@ -41,7 +41,7 @@ def test_registry_complete():
     [
         pytest.param("ResUNet2", marks=pytest.mark.slow),
         pytest.param("ResUNetIN2E", marks=pytest.mark.slow),
-        "SimpleNetBN",
+        pytest.param("SimpleNetBN", marks=pytest.mark.slow),
         pytest.param("SimpleNetIN2", marks=pytest.mark.slow),
         "SimpleNetBN3E",
     ],

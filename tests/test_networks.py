@@ -118,6 +118,7 @@ def test_part2_shapes():
     np.testing.assert_allclose(np.linalg.norm(np.asarray(q), axis=1), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_part1_bf16_inference_matches_f32(rng):
     """PartI bf16 inference dtype reproduces f32 descriptors within
     mixed-precision tolerance (outputs are L2-normalized f32)."""

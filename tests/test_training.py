@@ -116,6 +116,7 @@ def test_bake_and_iterate_batches(tmp_path, rng):
     assert seen == [0, 1, 2]
 
 
+@pytest.mark.slow
 def test_gzip_release_checkpoint_roundtrip(tmp_path, rng):
     """Release checkpoints (scripts/export_release.py) are gzip pickles
     with zeroed optimizer moments; load_checkpoint must sniff the magic
