@@ -158,3 +158,49 @@ def test_yoho_o_ransac_picks_true_transform(rng):
     )()
     assert int(res.best_iter) == 37
     np.testing.assert_allclose(np.asarray(res.transform), true_T, atol=1e-6)
+
+
+def test_refine_transform_recovers_exact_pose(rng):
+    """All-inlier re-fit: a perturbed 3-point estimate over noisy-ish
+    inliers converges to the exact transform (and ignores outliers)."""
+    import jax.numpy as jnp
+
+    from yoho_tpu.pipeline.ransac import refine_transform
+    from yoho_tpu.utils.so3 import random_rotation_matrix
+
+    R = random_rotation_matrix(rng).astype(np.float32)
+    t = rng.uniform(-1, 1, 3).astype(np.float32)
+    k1 = rng.uniform(-2, 2, (400, 3)).astype(np.float32)
+    k0 = (k1 @ R.T + t).astype(np.float32)
+    # 30% outliers
+    out = rng.random(400) < 0.3
+    k0[out] += rng.uniform(1, 3, (int(out.sum()), 3)).astype(np.float32)
+    mask = np.ones(400, bool)
+    # perturbed initial estimate (small rotation + translation offset)
+    ax = rng.normal(size=3)
+    ax /= np.linalg.norm(ax)
+    th = np.radians(4)
+    Kx = np.array([[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]], [-ax[1], ax[0], 0]])
+    dR = (np.eye(3) + np.sin(th) * Kx + (1 - np.cos(th)) * Kx @ Kx).astype(
+        np.float32
+    )
+    T0 = np.concatenate([dR @ R, (t + 0.03)[:, None]], 1).astype(np.float32)
+    T = np.asarray(
+        refine_transform(
+            jnp.asarray(T0), jnp.asarray(k0), jnp.asarray(k1),
+            jnp.asarray(mask), 0.07, iters=2,
+        )
+    )
+    ang = np.degrees(np.arccos(np.clip((np.trace(T[:, :3] @ R.T) - 1) / 2, -1, 1)))
+    assert ang < 0.1, ang
+    assert np.linalg.norm(T[:, 3] - t) < 0.01
+    assert np.linalg.det(T[:, :3]) > 0.9
+    # fewer than 3 inliers: transform must pass through unchanged
+    far = np.concatenate([np.eye(3, dtype=np.float32), np.full((3, 1), 50, np.float32)], 1)
+    T2 = np.asarray(
+        refine_transform(
+            jnp.asarray(far), jnp.asarray(k0), jnp.asarray(k1),
+            jnp.asarray(mask), 0.07, iters=1,
+        )
+    )
+    np.testing.assert_array_equal(T2, far)

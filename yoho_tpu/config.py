@@ -134,6 +134,11 @@ class RansacConfig:
     max_iter: int = 1000
     inlier_dist_c: float = 0.07  # YOHO-C (3DMatch)
     inlier_dist_o: float = 0.09  # YOHO-O (3DMatch)
+    # All-inlier re-fit of the winning hypothesis (pipeline/ransac.py
+    # refine_transform). DEVIATION from the reference, which keeps the
+    # raw 3-point Kabsch (estimator.py:55-63): one masked SVD per pair
+    # sharply reduces minimal-set translation error. 0 = bit-faithful.
+    refine_iters: int = 2
     fmr_ratio: float = 0.05  # tau_1
     ok_match_dist_threshold: float = 0.1  # tau_2
     rr_dist_threshold: float = 0.2  # tau_3

@@ -134,14 +134,16 @@ def make_sharded_match(mesh):
     return match
 
 
-def make_sharded_ransac_c(mesh, max_iter: int, inlier_dist: float):
+def make_sharded_ransac_c(mesh, max_iter: int, inlier_dist: float,
+                          refine_iters: int = 0):
     """Jitted YOHO-C RANSAC over a batch of fragment pairs, pairs
     sharded across every device (vmapped lanes within a device)."""
     axes = _flat_axes(mesh)
     spec = NamedSharding(mesh, P(axes))
 
     v = jax.vmap(
-        functools.partial(yoho_c_ransac, max_iter=max_iter, inlier_dist=inlier_dist)
+        functools.partial(yoho_c_ransac, max_iter=max_iter,
+                          inlier_dist=inlier_dist, refine_iters=refine_iters)
     )
 
     @functools.partial(
@@ -155,10 +157,11 @@ def make_sharded_ransac_c(mesh, max_iter: int, inlier_dist: float):
     return run
 
 
-def make_sharded_ransac_o(mesh, inlier_dist: float):
+def make_sharded_ransac_o(mesh, inlier_dist: float, refine_iters: int = 0):
     axes = _flat_axes(mesh)
     spec = NamedSharding(mesh, P(axes))
-    v = jax.vmap(functools.partial(yoho_o_ransac, inlier_dist=inlier_dist))
+    v = jax.vmap(functools.partial(yoho_o_ransac, inlier_dist=inlier_dist,
+                                   refine_iters=refine_iters))
 
     @functools.partial(
         jax.jit,

@@ -110,8 +110,16 @@ def yoho_c_ransac(
     dr_idx: jnp.ndarray,  # (M,) int32 coarse rotation per match
     max_iter: int,
     inlier_dist: float,
+    refine_iters: int = 0,
 ) -> RansacResult:
-    """Rotation-guided 3-point RANSAC (YOHO-C), fully vmapped."""
+    """Rotation-guided 3-point RANSAC (YOHO-C), fully vmapped.
+
+    ``refine_iters`` > 0 re-fits the winning hypothesis on ALL its
+    inliers (``refine_transform``) — a deviation from the reference
+    (which keeps the raw 3-point Kabsch, ``estimator.py:55-63``) that
+    costs one masked SVD and sharply reduces the translation error of
+    minimal-set fits. 0 = bit-faithful reference behavior.
+    """
     M = pairs.shape[0]
     keys_m0 = keys0[pairs[:, 0]]
     keys_m1 = keys1[pairs[:, 1]]
@@ -140,11 +148,19 @@ def yoho_c_ransac(
     transforms = kabsch_3pt(kps0, kps1)  # (T, 3, 4)
     scores = overlap_scores(transforms, keys_m0, keys_m1, match_mask, inlier_dist)
     best = jnp.argmax(scores)
+    trans = transforms[best]
+    score = scores[best]
+    if refine_iters:
+        trans = refine_transform(
+            trans, keys_m0, keys_m1, match_mask, inlier_dist, refine_iters
+        )
+        score = overlap_scores(
+            trans[None], keys_m0, keys_m1, match_mask, inlier_dist
+        )[0]
     identity = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
-    trans = jnp.where(degenerate, identity, transforms[best])
     return RansacResult(
-        transform=trans,
-        overlap=jnp.where(degenerate, 0.0, scores[best]),
+        transform=jnp.where(degenerate, identity, trans),
+        overlap=jnp.where(degenerate, 0.0, score),
         best_iter=best.astype(jnp.int32),
         degenerate=degenerate,
     )
@@ -157,16 +173,29 @@ def yoho_o_ransac(
     match_mask: jnp.ndarray,
     transforms: jnp.ndarray,  # (M, 3, 4) per-correspondence transforms (PartII)
     inlier_dist: float,
+    refine_iters: int = 0,
 ) -> RansacResult:
-    """One-hypothesis-per-correspondence scoring (YOHO-O)."""
+    """One-hypothesis-per-correspondence scoring (YOHO-O).
+
+    ``refine_iters``: same all-inlier re-fit deviation as
+    ``yoho_c_ransac`` (0 = reference behavior)."""
     keys_m0 = keys0[pairs[:, 0]]
     keys_m1 = keys1[pairs[:, 1]]
     scores = overlap_scores(transforms, keys_m0, keys_m1, match_mask, inlier_dist)
     scores = jnp.where(match_mask, scores, -1.0)  # padded transforms can't win
     best = jnp.argmax(scores)
+    trans = transforms[best]
+    score = scores[best]
+    if refine_iters:
+        trans = refine_transform(
+            trans, keys_m0, keys_m1, match_mask, inlier_dist, refine_iters
+        )
+        score = overlap_scores(
+            trans[None], keys_m0, keys_m1, match_mask, inlier_dist
+        )[0]
     return RansacResult(
-        transform=transforms[best],
-        overlap=scores[best],
+        transform=trans,
+        overlap=score,
         best_iter=best.astype(jnp.int32),
         degenerate=jnp.asarray(False),
     )
@@ -194,8 +223,13 @@ def refine_transform(
         c1 = (keys_m1 * wf).sum(0) / n
         m = jnp.einsum("pi,pj->ij", (keys_m1 - c1) * wf, keys_m0 - c0)
         u, _, vt = jnp.linalg.svd(m)
-        rot = vt.T @ u.T
+        # Umeyama sign fix: reject reflections (same as kabsch_3pt)
+        d = jnp.sign(jnp.linalg.det(vt.T @ u.T))
+        s = jnp.ones((3,)).at[2].set(d)
+        rot = (vt.T * s[None, :]) @ u.T
         t = c0 - rot @ c1
-        return jnp.concatenate([rot, t[:, None]], axis=1)
+        refined = jnp.concatenate([rot, t[:, None]], axis=1)
+        # fewer than 3 inliers: the fit is underdetermined — keep T
+        return jnp.where(wf.sum() >= 3.0, refined, T)
 
     return jax.lax.fori_loop(0, iters, body, transform)

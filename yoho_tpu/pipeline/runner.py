@@ -146,6 +146,7 @@ class PipelineRunner:
                 key, keys0, keys1, pairs, mask, dr,
                 max_iter=cfg.ransac.max_iter,
                 inlier_dist=cfg.ransac.inlier_dist_c,
+                refine_iters=cfg.ransac.refine_iters,
             )
 
         @jax.jit
@@ -166,6 +167,7 @@ class PipelineRunner:
             return yoho_o_ransac(
                 keys0, keys1, pairs, mask, transforms,
                 inlier_dist=cfg.ransac.inlier_dist_o,
+                refine_iters=cfg.ransac.refine_iters,
             )
 
         # Batched estimators: all of a scene's pairs as vmap lanes of ONE
@@ -179,6 +181,7 @@ class PipelineRunner:
                     k, a, b, p, mm, d,
                     max_iter=cfg.ransac.max_iter,
                     inlier_dist=cfg.ransac.inlier_dist_c,
+                    refine_iters=cfg.ransac.refine_iters,
                 )
             )(keys, keys0, keys1, pairs, mask, dr)
 
@@ -186,7 +189,8 @@ class PipelineRunner:
         def ransac_o_batch(keys0, keys1, pairs, mask, transforms):
             return jax.vmap(
                 lambda a, b, p, mm, t: yoho_o_ransac(
-                    a, b, p, mm, t, inlier_dist=cfg.ransac.inlier_dist_o
+                    a, b, p, mm, t, inlier_dist=cfg.ransac.inlier_dist_o,
+                    refine_iters=cfg.ransac.refine_iters,
                 )
             )(keys0, keys1, pairs, mask, transforms)
 
