@@ -335,8 +335,18 @@ def main():
                 f"| {d['registration_recall']:.3f} |"
             )
         md += ["", "Raw JSON: `data/YOHO_SYNTH/eval_*.json` (stage timings inside)."]
-        with open(os.path.join(REPO, "RESULTS.md"), "w") as f:
-            f.write("\n".join(md) + "\n")
+        out_fn = os.path.join(REPO, "RESULTS.md")
+        # Preserve hand-written analysis: everything from the first
+        # second-level heading onward survives a table refresh (this
+        # stage once clobbered the round-5 commentary).
+        tail = ""
+        if os.path.exists(out_fn):
+            old = open(out_fn).read()
+            k = old.find("\n## ")
+            if k >= 0:
+                tail = old[k:]
+        with open(out_fn, "w") as f:
+            f.write("\n".join(md) + "\n" + tail)
         print("\n".join(md))
 
     if "bench" in stages:

@@ -139,6 +139,10 @@ class RansacConfig:
     # raw 3-point Kabsch (estimator.py:55-63): one masked SVD per pair
     # sharply reduces minimal-set translation error. 0 = bit-faithful.
     refine_iters: int = 2
+    # YOHO-O: how many best-scoring per-match hypotheses to refine and
+    # rescore (pipeline/ransac.py yoho_o_ransac). Noisy pre-refinement
+    # ranking at low inlier ratios makes a wider candidate set win.
+    refine_topk: int = 32
     fmr_ratio: float = 0.05  # tau_1
     ok_match_dist_threshold: float = 0.1  # tau_2
     rr_dist_threshold: float = 0.2  # tau_3

@@ -174,28 +174,39 @@ def yoho_o_ransac(
     transforms: jnp.ndarray,  # (M, 3, 4) per-correspondence transforms (PartII)
     inlier_dist: float,
     refine_iters: int = 0,
+    refine_topk: int = 8,
 ) -> RansacResult:
     """One-hypothesis-per-correspondence scoring (YOHO-O).
 
-    ``refine_iters``: same all-inlier re-fit deviation as
-    ``yoho_c_ransac`` (0 = reference behavior)."""
+    ``refine_iters`` > 0 refines the ``refine_topk`` best-scoring
+    hypotheses on their inlier sets and keeps the best refined one —
+    pre-refinement overlap ranking is noisy at low inlier ratios, and a
+    near-miss transform a few degrees off often re-fits to the true
+    pose from its accidental inliers (same deviation family as
+    ``yoho_c_ransac``'s re-fit; 0 = reference behavior)."""
     keys_m0 = keys0[pairs[:, 0]]
     keys_m1 = keys1[pairs[:, 1]]
     scores = overlap_scores(transforms, keys_m0, keys_m1, match_mask, inlier_dist)
     scores = jnp.where(match_mask, scores, -1.0)  # padded transforms can't win
     best = jnp.argmax(scores)
-    trans = transforms[best]
-    score = scores[best]
     if refine_iters:
-        trans = refine_transform(
-            trans, keys_m0, keys_m1, match_mask, inlier_dist, refine_iters
+        _, top = jax.lax.top_k(scores, refine_topk)
+        cand = jax.vmap(
+            lambda T: refine_transform(
+                T, keys_m0, keys_m1, match_mask, inlier_dist, refine_iters
+            )
+        )(transforms[top])
+        cscores = overlap_scores(cand, keys_m0, keys_m1, match_mask, inlier_dist)
+        ci = jnp.argmax(cscores)
+        return RansacResult(
+            transform=cand[ci],
+            overlap=cscores[ci],
+            best_iter=top[ci].astype(jnp.int32),
+            degenerate=jnp.asarray(False),
         )
-        score = overlap_scores(
-            trans[None], keys_m0, keys_m1, match_mask, inlier_dist
-        )[0]
     return RansacResult(
-        transform=trans,
-        overlap=score,
+        transform=transforms[best],
+        overlap=scores[best],
         best_iter=best.astype(jnp.int32),
         degenerate=jnp.asarray(False),
     )

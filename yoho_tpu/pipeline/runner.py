@@ -168,6 +168,7 @@ class PipelineRunner:
                 keys0, keys1, pairs, mask, transforms,
                 inlier_dist=cfg.ransac.inlier_dist_o,
                 refine_iters=cfg.ransac.refine_iters,
+                refine_topk=cfg.ransac.refine_topk,
             )
 
         # Batched estimators: all of a scene's pairs as vmap lanes of ONE
@@ -191,6 +192,7 @@ class PipelineRunner:
                 lambda a, b, p, mm, t: yoho_o_ransac(
                     a, b, p, mm, t, inlier_dist=cfg.ransac.inlier_dist_o,
                     refine_iters=cfg.ransac.refine_iters,
+                    refine_topk=cfg.ransac.refine_topk,
                 )
             )(keys0, keys1, pairs, mask, transforms)
 
