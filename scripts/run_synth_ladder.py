@@ -121,6 +121,12 @@ def main():
         "corpus can be much larger than the PartI bake set)",
     )
     ap.add_argument(
+        "--train-scenes", type=int, default=48,
+        help="synthetic train-corpus size in scenes (seed-deterministic; "
+        "growing it only ADDS scenes, but changes the corpus fingerprint "
+        "and therefore invalidates trainset/eval caches on purpose)",
+    )
+    ap.add_argument(
         "--stage-timeout", type=float, default=0,
         help="per-stage wall-clock cap in seconds (0 = none); stages "
         "are idempotent so a timed-out run can simply be relaunched",
@@ -188,7 +194,7 @@ def main():
         sys.path.insert(0, REPO)
         from yoho_tpu.data.synthetic import generate_corpus
 
-        out = generate_corpus(args.origin_dir)
+        out = generate_corpus(args.origin_dir, train_scenes=args.train_scenes)
         print(f"corpus: {out}", flush=True)
 
     train_cache = os.path.join(args.cache_root, "train_cache")

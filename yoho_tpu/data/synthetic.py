@@ -368,16 +368,20 @@ def generate_corpus(
     root: str,
     test_scenes: int = 2,
     test_frags: int = 8,
-    train_scenes: int = 16,
+    train_scenes: int = 48,
     train_frags: int = 8,
     seed: int = 0,
 ) -> Dict[str, Dict[str, int]]:
     """Emit synth_test/* (local frames) and synth_train/* (aligned).
 
     Train-split size is the measured accuracy bottleneck: FCGF overfits
-    the old 6x6-fragment corpus (37 pairs) by step ~2k (RESULTS.md), so
-    the default is 16 scenes x 8 fragments (~3-4x the pairs). Test split
-    stays fixed to keep eval cost and round-over-round comparability."""
+    small corpora within ~2k steps (RESULTS.md). The default is 48
+    scenes x 8 fragments — the corpus the committed round-5 release was
+    actually trained on (round 4 had grown it out-of-band, which made a
+    fresh clone regenerate only 16 scenes and silently train on a third
+    of the data). Scene generation is seed-deterministic, so bumping the
+    default on an existing 16-scene tree adds scenes 16-47 bit-identically.
+    Test split stays fixed for round-over-round eval comparability."""
     out = {"synth_test": {}, "synth_train": {}}
     for s in range(test_scenes):
         name = f"scene_{s:02d}"
