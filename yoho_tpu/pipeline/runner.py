@@ -304,7 +304,10 @@ class PipelineRunner:
                         )
                     )
                 for j in range(real):
-                    np.save(os.path.join(lift_dir, f"{chunk[j][0]}.npy"), F[j])
+                    np.save(
+                        os.path.join(lift_dir, f"{chunk[j][0]}.npy"),
+                        F[j].astype(np.float16),
+                    )
 
     def extract_group_features(self, dataset, cache_dir: str) -> None:
         """Stage 1+2: FCGF group lifting + PartI descriptors per cloud."""
@@ -340,9 +343,27 @@ class PipelineRunner:
 
         from yoho_tpu.utils.prefetch import prefetch
 
+        # Device-side fusion + depth-1 output pipeline (same treatment
+        # as data/trainset.generate_rotated_features, round-5): the lift
+        # output feeds PartI WITHOUT a device->host->device bounce, both
+        # results stay unmaterialized while the device starts the next
+        # cloud, and caches are stored float16 (38 MB f32 -> 19 MB per
+        # array through the tunnel + on disk; consumers cast back).
         it = prefetch(prep, todo)
+        pending = []  # [(pc_id, F_dev|F_np, eqv_dev)]
+
+        def flush(n_keep: int) -> None:
+            while len(pending) > n_keep:
+                pid, F_out, eqv_out = pending.pop(0)
+                lf = os.path.join(lift_dir, f"{pid}.npy")
+                if not os.path.exists(lf):
+                    np.save(lf, np.asarray(F_out).astype(np.float16))
+                np.save(
+                    os.path.join(yoho_dir, f"{pid}.npy"),
+                    np.asarray(eqv_out).astype(np.float16),
+                )
+
         for pc_id, (F, raw) in it:
-            lift_fn = os.path.join(lift_dir, f"{pc_id}.npy")
             if F is None:
                 pts_j, n, bucket, keys, dropped = raw
                 if dropped:
@@ -350,10 +371,13 @@ class PipelineRunner:
                     print(f"WARNING: {pc_id}: {dropped} voxels over the "
                           f"{self.pad} cap were dropped", flush=True)
                 lift = self.lift_for_bucket(bucket)
-                F = np.asarray(lift(pts_j, n, self.jnp.asarray(keys)))
-                np.save(lift_fn, F)
-            eqv, _ = self.part1_desc(self.jnp.asarray(F))
-            np.save(os.path.join(yoho_dir, f"{pc_id}.npy"), np.asarray(eqv))
+                F = lift(pts_j, n, self.jnp.asarray(keys))  # device array
+            else:
+                F = self.jnp.asarray(np.asarray(F, np.float32))
+            eqv, _ = self.part1_desc(F)
+            pending.append((pc_id, F, eqv))
+            flush(1)
+        flush(0)
         if todo:
             self.timer.count("extract_host_wait_ms", int(it.wait_s * 1000))
 
@@ -370,8 +394,13 @@ class PipelineRunner:
             d_fn = os.path.join(dr_dir, f"{id0}-{id1}.npy")
             if os.path.exists(m_fn) and os.path.exists(d_fn):
                 continue
-            eqv0 = jnp.asarray(np.load(os.path.join(feat_dir, f"{id0}.npy")))
-            eqv1 = jnp.asarray(np.load(os.path.join(feat_dir, f"{id1}.npy")))
+            # caches may be f16 (extract stores them halved); compute f32
+            eqv0 = jnp.asarray(
+                np.load(os.path.join(feat_dir, f"{id0}.npy")).astype(np.float32)
+            )
+            eqv1 = jnp.asarray(
+                np.load(os.path.join(feat_dir, f"{id1}.npy")).astype(np.float32)
+            )
             inv0 = jnp.mean(eqv0, axis=1)
             inv1 = jnp.mean(eqv1, axis=1)
             m, dr = self.match_and_dr(eqv0, inv0, eqv1, inv1)
@@ -488,10 +517,10 @@ class PipelineRunner:
                 continue
             pairs = np.load(os.path.join(match_dir, f"{id0}-{id1}.npy"))
             dr = np.load(os.path.join(match_dir, "DR_index", f"{id0}-{id1}.npy"))
-            bf0 = np.load(os.path.join(lift_dir, f"{id0}.npy"))[pairs[:, 0]]
-            bf1 = np.load(os.path.join(lift_dir, f"{id1}.npy"))[pairs[:, 1]]
-            af0 = np.load(os.path.join(yoho_dir, f"{id0}.npy"))[pairs[:, 0]]
-            af1 = np.load(os.path.join(yoho_dir, f"{id1}.npy"))[pairs[:, 1]]
+            bf0 = np.load(os.path.join(lift_dir, f"{id0}.npy"))[pairs[:, 0]].astype(np.float32)
+            bf1 = np.load(os.path.join(lift_dir, f"{id1}.npy"))[pairs[:, 1]].astype(np.float32)
+            af0 = np.load(os.path.join(yoho_dir, f"{id0}.npy"))[pairs[:, 0]].astype(np.float32)
+            af1 = np.load(os.path.join(yoho_dir, f"{id1}.npy"))[pairs[:, 1]].astype(np.float32)
             keys0 = dataset.get_kps(id0).astype(np.float32)[pairs[:, 0]]
             keys1 = dataset.get_kps(id1).astype(np.float32)[pairs[:, 1]]
             m = pairs.shape[0]
