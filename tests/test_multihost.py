@@ -52,7 +52,9 @@ def test_two_process_distributed():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=600)
+            # 600 s flaked once when 4 xdist workers + a TPU training
+            # run shared the host (passes in ~110 s uncontended)
+            out, _ = p.communicate(timeout=1200)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
